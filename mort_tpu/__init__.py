@@ -1,0 +1,21 @@
+"""mort-tpu: a TPU-native differentiable path tracer.
+
+A from-scratch JAX/Pallas rebuild of the capabilities of the reference CUDA
+renderer ``mort`` (Ray Tracing in One Weekend GPU port): sphere/quad
+primitives, BVH, five materials, four textures, emissive lights with
+mixture-PDF importance sampling — as a stream-compacted wavefront loop that
+is differentiable end-to-end and shards rays across TPU meshes.
+"""
+
+from .camera import Camera, make_camera
+from .rng import DEFAULT_SEED
+from .scene.build import SceneData, SceneMeta, World
+from .render.renderer import render, to_u8, to_u8_np
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Camera", "make_camera", "DEFAULT_SEED",
+    "SceneData", "SceneMeta", "World",
+    "render", "to_u8", "to_u8_np",
+]

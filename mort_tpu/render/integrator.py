@@ -1,0 +1,79 @@
+"""Wavefront path integrator.
+
+The reference's per-thread recursion with global-memory scratch stacks
+(camera.cuh:86-176: store {attenuation, emission, scattering_pdf, pdf} per
+bounce, then unwind ``L = E + A*spdf*L/pdf``, camera.cuh:166-173) is folded
+*forward*:
+
+    L_0 = 0,  beta_0 = 1
+    at bounce i:   L += beta_i * E_i ;   beta_{i+1} = beta_i * A_i*spdf_i/pdf_i
+    on miss:       L += beta * background          (camera.cuh:154-158)
+    on no-scatter: L += beta * emission, terminate (camera.cuh:148-151)
+    depth exhausted: tail contributes 0            (camera.cuh:161-163)
+
+which is algebraically identical to the unwind but needs O(1) memory in
+bounce depth instead of the reference's bounce_limit*W*H scratch buffers
+(mort.cu:712-725).  All rays advance in lockstep with masked lanes; the loop
+exits early once every ray in the batch has terminated.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, CameraBasis, get_rays
+from ..scene.build import SceneData, SceneMeta
+from .intersect import QuadFrames, intersect_world
+from .shade import shade
+
+
+def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
+          basis: CameraBasis, seed, pixel_ids, sample_ids, chunk=512,
+          differentiable=False):
+    """Trace one camera sample for a batch of pixels; returns radiance [R,3].
+
+    ``differentiable=True`` uses a static-trip-count fori_loop (reverse-mode
+    differentiable); the default uses a while_loop that exits as soon as all
+    rays in the batch have terminated.
+    """
+    ro, rd, time = get_rays(cam, basis, seed, pixel_ids, sample_ids)
+    R = ro.shape[0]
+
+    def body(state):
+        bounce, L, beta, alive, ro, rd = state
+        hit = intersect_world(data, meta, qf, ro, rd, time, seed,
+                              pixel_ids, sample_ids, bounce, chunk=chunk)
+        out = shade(data, meta, qf, hit, ro, rd, time, seed,
+                    pixel_ids, sample_ids, bounce)
+
+        miss = alive & ~hit.hit
+        L = L + jnp.where(miss[:, None], beta * cam.background[None, :], 0.0)
+
+        terminated = alive & hit.hit & ~out.scatter_ok
+        L = L + jnp.where(terminated[:, None], beta * out.emission, 0.0)
+
+        cont = alive & hit.hit & out.scatter_ok
+        # skip_pdf bounces store zero emission (camera.cuh:107-110).
+        L = L + jnp.where((cont & ~out.skip_pdf)[:, None], beta * out.emission, 0.0)
+        beta = jnp.where(cont[:, None], beta * out.weight, beta)
+
+        ro = jnp.where(cont[:, None], hit.p, ro)
+        rd = jnp.where(cont[:, None], out.new_dir, rd)
+        return bounce + 1, L, beta, cont, ro, rd
+
+    def cond(state):
+        bounce, _L, _beta, alive, _ro, _rd = state
+        return (bounce < cam.bounce_limit) & jnp.any(alive)
+
+    state = (jnp.int32(0),
+             jnp.zeros((R, 3), jnp.float32),
+             jnp.ones((R, 3), jnp.float32),
+             jnp.ones(R, bool),
+             ro, rd)
+    if differentiable:
+        state = jax.lax.fori_loop(0, cam.bounce_limit,
+                                  lambda _i, s: body(s), state)
+    else:
+        state = jax.lax.while_loop(cond, body, state)
+    return state[1]

@@ -1,0 +1,112 @@
+"""Vectorised texture evaluation (the valueDispatch analogue,
+textures.cuh:327-349).
+
+Dispatch over texture kinds happens by masked evaluation of each kind that
+is actually present in the scene (static SceneMeta flags prune dead
+branches at trace time), never by per-ray control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.build import SceneData, SceneMeta
+from ..scene.types import TEX_CHECKER, TEX_IMAGE, TEX_NOISE, TEX_SOLID
+
+
+def _perlin_noise(p, ranvec, perm):
+    """Perlin noise with the reference's exact (double-)smoothing semantics
+    (textures.cuh:174-196 + 232-250: noise() Hermite-smooths u/v/w, then
+    perlin_interp smooths them again for the lattice weights while the
+    gradient offset vectors use the once-smoothed values).
+
+    p: [R,3]; ranvec: [256,3]; perm: [3,256] -> [R]
+    """
+    pf = jnp.floor(p)
+    uvw = p - pf                      # raw fractional part
+    uvw1 = uvw * uvw * (3.0 - 2.0 * uvw)   # smoothed once (textures.cuh:179-181)
+    ijk = pf.astype(jnp.int32)
+
+    uu = uvw1 * uvw1 * (3.0 - 2.0 * uvw1)  # smoothed twice (textures.cuh:234-236)
+    accum = jnp.zeros(p.shape[:-1], p.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                idx = (
+                    perm[0, (ijk[..., 0] + di) & 255]
+                    ^ perm[1, (ijk[..., 1] + dj) & 255]
+                    ^ perm[2, (ijk[..., 2] + dk) & 255]
+                )
+                c = ranvec[idx]        # [R,3]
+                weight_v = jnp.stack(
+                    [uvw1[..., 0] - di, uvw1[..., 1] - dj, uvw1[..., 2] - dk], axis=-1
+                )
+                coeff = (
+                    (di * uu[..., 0] + (1 - di) * (1.0 - uu[..., 0]))
+                    * (dj * uu[..., 1] + (1 - dj) * (1.0 - uu[..., 1]))
+                    * (dk * uu[..., 2] + (1 - dk) * (1.0 - uu[..., 2]))
+                )
+                accum = accum + coeff * jnp.sum(c * weight_v, axis=-1)
+    return accum
+
+
+def _turbulence(p, ranvec, perm, depth=7):
+    """Sum of |octaves| (textures.cuh:252-265)."""
+    accum = jnp.zeros(p.shape[:-1], p.dtype)
+    temp_p = p
+    weight = 1.0
+    for _ in range(depth):
+        accum = accum + weight * _perlin_noise(temp_p, ranvec, perm)
+        weight *= 0.5
+        temp_p = temp_p * 2.0
+    return jnp.abs(accum)
+
+
+def _base_value(data: SceneData, meta: SceneMeta, kind_arr, tid, u, v, p):
+    """Evaluate non-checker textures at texture rows ``tid`` [R]."""
+    kinds = kind_arr[tid]
+    out = data.tex_color[tid]  # solid_color (textures.cuh:24-27)
+
+    if meta.n_images > 0:
+        img_ids = data.tex_image_id[tid]
+        uc = jnp.clip(u, 0.0, 1.0)
+        vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip V (textures.cuh:133-134)
+        for img_id in range(meta.n_images):
+            img = data.images[img_id]
+            H, W = img.shape[0], img.shape[1]
+            i = jnp.clip((uc * W).astype(jnp.int32), 0, W - 1)
+            j = jnp.clip((vc * H).astype(jnp.int32), 0, H - 1)
+            val = img[j, i]
+            sel = (kinds == TEX_IMAGE) & (img_ids == img_id)
+            out = jnp.where(sel[..., None], val, out)
+
+    if meta.n_noise > 0:
+        noise_ids = data.tex_image_id[tid]
+        scale = data.tex_noise_scale[tid]
+        s = scale[..., None] * p
+        for nid in range(meta.n_noise):
+            ranvec = data.noise_ranvec[nid]
+            perm = data.noise_perm[nid]
+            # marble: 0.5*(1 + sin(s.z + 10*turb(s))) (textures.cuh:198-202)
+            marble = 0.5 * (1.0 + jnp.sin(s[..., 2] + 10.0 * _turbulence(s, ranvec, perm)))
+            sel = (kinds == TEX_NOISE) & (noise_ids == nid)
+            out = jnp.where(sel[..., None], marble[..., None] * jnp.ones(3, p.dtype), out)
+
+    return out
+
+
+def texture_value(data: SceneData, meta: SceneMeta, tid, u, v, p):
+    """Full texture dispatch incl. one checker nesting level
+    (textures.cuh:327-349 + 52-60).  tid: [R] texture rows."""
+    kind_arr = jnp.asarray(meta.tex_kind, jnp.int32)
+    has_checker = TEX_CHECKER in meta.tex_kind
+    if not has_checker:
+        return _base_value(data, meta, kind_arr, tid, u, v, p)
+
+    kinds = kind_arr[tid]
+    inv_scale = data.tex_inv_scale[tid]
+    grid = jnp.floor(inv_scale[..., None] * p).astype(jnp.int32)
+    is_even = (grid[..., 0] + grid[..., 1] + grid[..., 2]) % 2 == 0
+    child = jnp.where(is_even, data.tex_child_even[tid], data.tex_child_odd[tid])
+    eff = jnp.where(kinds == TEX_CHECKER, child, tid)
+    return _base_value(data, meta, kind_arr, eff, u, v, p)
