@@ -121,10 +121,13 @@ def main(argv=None):
     pb.add_argument("--frames", type=int, default=3)
 
     args = ap.parse_args(argv)
-    if args.cmd == "render":
-        cmd_render(args)
-    elif args.cmd == "bench":
-        cmd_bench(args)
+    try:
+        if args.cmd == "render":
+            cmd_render(args)
+        elif args.cmd == "bench":
+            cmd_bench(args)
+    except ValueError as e:
+        ap.error(str(e))
 
 
 if __name__ == "__main__":

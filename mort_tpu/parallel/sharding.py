@@ -1,0 +1,146 @@
+"""Multi-chip distribution: pixel/ray sharding over a device mesh.
+
+The reference is strictly single-GPU — its only parallelism is the CUDA
+pixel grid, with the scene replicated in __constant__ memory (SURVEY.md
+section 2, "Parallelism strategies").  The TPU rebuild introduces
+distribution as a first-class component:
+
+* **Data parallelism over rays/pixels**: the flat pixel array is sharded
+  along a 1-D (or ("dcn","ici") 2-D) mesh axis with ``NamedSharding``; every
+  chip traces its own pixel slice.  The forward pass needs ZERO collectives
+  — rays are embarrassingly parallel, exactly like the reference's pixel
+  grid, but across chips.
+
+* **Scene replication**: SceneData (the analogue of the __constant__
+  registries) is replicated on every chip.
+
+* **Gradient all-reduce**: differentiating a sharded render w.r.t. the
+  replicated scene makes XLA insert the psum over the mesh automatically
+  (the backward of a broadcast is an all-reduce over ICI/DCN) — the
+  TPU-native counterpart of NCCL gradient all-reduce, with the XLA
+  latency-hiding scheduler overlapping it with the backward sweep.
+
+Renders are **sharding-invariant**: the counter-based RNG keys by pixel id,
+so any mesh shape produces bit-identical samples per pixel.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``; the
+same code paths shard over all processes' devices (pixel rows land on the
+hosts' chips; DCN only carries the final gather and gradient psums).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..camera import Camera
+from ..rng import DEFAULT_SEED
+from ..scene.build import SceneData, SceneMeta
+from ..render.renderer import radiance_for_pixels
+
+
+def make_mesh(n_devices=None, devices=None) -> Mesh:
+    """1-D 'rays' mesh over the given/available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("rays",))
+
+
+def _padded_pixels(W, H, n_shards):
+    WH = W * H
+    per = -(-WH // n_shards)
+    pix = np.minimum(np.arange(n_shards * per, dtype=np.int32), WH - 1)
+    return pix, WH
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "chunk", "differentiable"))
+def _sharded_radiance(data: SceneData, cam: Camera, seed, pixel_ids, *,
+                      meta: SceneMeta, chunk: int, differentiable: bool):
+    return radiance_for_pixels(data, meta, cam, seed, pixel_ids,
+                               chunk=chunk, differentiable=differentiable)
+
+
+def render_sharded(data: SceneData, meta: SceneMeta, cam: Camera, mesh: Mesh,
+                   seed=DEFAULT_SEED, chunk=512, differentiable=False):
+    """Render with pixels sharded over ``mesh``; returns [H,W,3] on host.
+
+    Scene/camera are replicated; the pixel id array (and thus every ray
+    state tensor derived from it) is sharded along the 'rays' axis.
+    """
+    W, H = cam.image_width, cam.image_height
+    n = mesh.devices.size
+    pix, WH = _padded_pixels(W, H, n)
+
+    shard = NamedSharding(mesh, P("rays"))
+    repl = NamedSharding(mesh, P())
+    pix_dev = jax.device_put(jnp.asarray(pix), shard)
+    data_dev = jax.device_put(data, repl)
+    cam_dev = jax.device_put(cam, repl)
+
+    fb = _sharded_radiance(data_dev, cam_dev, jnp.uint32(seed), pix_dev,
+                           meta=meta, chunk=chunk,
+                           differentiable=differentiable)
+    fb = np.array(fb)[:WH]
+    fb[np.isnan(fb)] = 0.0
+    return fb.reshape(H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable sharded training step (scene-parameter optimisation)
+# ---------------------------------------------------------------------------
+
+def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512):
+    """Build a jitted step: (data, cam, target_flat, pixel_ids, seed) ->
+    (loss, grads) where grads is d(loss)/d(SceneData) — float leaves only —
+    all-reduced over the mesh by XLA (psum inserted for the replicated
+    scene operand)."""
+    shard = NamedSharding(mesh, P("rays"))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(diff_data, data, cam, target, pixel_ids, seed):
+        d = _merge_diff(data, diff_data)
+        img = radiance_for_pixels(d, meta, cam, seed, pixel_ids,
+                                  chunk=chunk, differentiable=True)
+        return jnp.mean((img - target) ** 2)
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def step(diff_data, data, cam, target, pixel_ids, seed):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            diff_data, data, cam, target, pixel_ids, seed)
+        return loss, grads
+
+    def run(data, cam, target_img, seed=DEFAULT_SEED):
+        W, H = cam.image_width, cam.image_height
+        n = mesh.devices.size
+        pix, WH = _padded_pixels(W, H, n)
+        target = np.asarray(target_img, np.float32).reshape(-1, 3)
+        target = np.concatenate(
+            [target, np.repeat(target[-1:], len(pix) - WH, 0)], 0)
+        pix_dev = jax.device_put(jnp.asarray(pix), shard)
+        tgt_dev = jax.device_put(jnp.asarray(target), shard)
+        data_dev = jax.device_put(data, repl)
+        cam_dev = jax.device_put(cam, repl)
+        diff = _extract_diff(data_dev)
+        return step(diff, data_dev, cam_dev, tgt_dev, pix_dev, jnp.uint32(seed))
+
+    return run
+
+
+_DIFF_FIELDS = ("sph_center", "sph_cvec", "sph_radius", "quad_Q", "quad_u",
+                "quad_v", "mat_albedo", "mat_fuzz", "mat_ior", "tex_color")
+
+
+def _extract_diff(data: SceneData) -> dict:
+    """The differentiable scene leaves (BASELINE gradient targets)."""
+    return {f: getattr(data, f) for f in _DIFF_FIELDS}
+
+
+def _merge_diff(data: SceneData, diff: dict) -> SceneData:
+    return data.replace(**diff)

@@ -38,6 +38,7 @@ from . import math3 as m3
 INF = jnp.float32(jnp.inf)
 T_MIN = 1e-3          # world-level epsilon (camera.cuh:97)
 MEDIUM_EPS = 1e-4     # boundary re-hit epsilon (objects.cuh:404)
+UV_CLAMP = 1.0 - 2.0 ** -20   # arccos domain clamp (gradient safety)
 
 # best-hit kind codes
 K_NONE = 0
@@ -135,7 +136,7 @@ def sphere_pass(data: SceneData, meta: SceneMeta, ro, rd, time, t_min,
             c_term = ro_sq[:, None] - 2.0 * roc + (ctc - r * r)[None, :]
 
         disc = half_b * half_b - a[:, None] * c_term
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = m3.safe_sqrt(disc)
         inv_a = 1.0 / a[:, None]
         root1 = (-half_b - sq) * inv_a
         root2 = (-half_b + sq) * inv_a
@@ -162,7 +163,11 @@ def quad_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd, t_min,
         nrm = qf.normal[start:start + size]
         surf = data.quad_surface[start:start + size]
         denom = rd @ nrm.T                              # [R,C]
-        t = (qf.D[None, start:start + size] - ro @ nrm.T) / denom
+        ok_denom = jnp.abs(denom) >= 1e-8
+        denom_safe = jnp.where(ok_denom, denom, 1.0)
+        t = jnp.where(ok_denom,
+                      (qf.D[None, start:start + size] - ro @ nrm.T) / denom_safe,
+                      -1.0)
         a1 = ro @ qf.vxw[start:start + size].T
         a2 = rd @ qf.vxw[start:start + size].T
         alpha = a1 + t * a2 - qf.qa[None, start:start + size]
@@ -170,7 +175,7 @@ def quad_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd, t_min,
         b2 = rd @ qf.wxu[start:start + size].T
         beta = b1 + t * b2 - qf.qb[None, start:start + size]
         valid = (
-            (jnp.abs(denom) >= 1e-8)
+            ok_denom
             & (t > t_min)
             & (alpha >= 0.0) & (alpha <= 1.0)
             & (beta >= 0.0) & (beta <= 1.0)
@@ -196,7 +201,7 @@ def _sphere_roots_single(data, row, ro, rd):
     half_b = m3.dot(oc, rd)
     c_term = m3.length_sq(oc) - r * r
     disc = half_b * half_b - a * c_term
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = m3.safe_sqrt(disc)
     ok = disc >= 0.0
     root1 = (-half_b - sq) / a
     root2 = (-half_b + sq) / a
@@ -207,10 +212,14 @@ def _quad_t_single(data, qf: QuadFrames, row, ro, rd):
     """One quad's plane hit over (-inf, inf) for media boundaries."""
     nrm = qf.normal[row]
     denom = m3.dot(rd, nrm[None, :])
-    t = (qf.D[row] - m3.dot(ro, nrm[None, :])) / denom
+    ok_denom = jnp.abs(denom) >= 1e-8
+    t = jnp.where(ok_denom,
+                  (qf.D[row] - m3.dot(ro, nrm[None, :]))
+                  / jnp.where(ok_denom, denom, 1.0),
+                  -1.0)
     alpha = m3.dot(ro, qf.vxw[row][None, :]) + t * m3.dot(rd, qf.vxw[row][None, :]) - qf.qa[row]
     beta = m3.dot(ro, qf.wxu[row][None, :]) + t * m3.dot(rd, qf.wxu[row][None, :]) - qf.qb[row]
-    ok = (jnp.abs(denom) >= 1e-8) & (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
+    ok = ok_denom & (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
     return [(t, ok)]
 
 
@@ -239,7 +248,9 @@ def media_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd,
         ray_len = m3.length(rd)
         dist_inside = (rec2 - rec1) * ray_len
         u_m = rngm.uniform4(seed, pixel, sample, 1 + bounce, rngm.SLOT_MEDIUM0 + m)[0]
-        hit_dist = data.med_neg_inv_density[m] * jnp.log(u_m)
+        # u=0 maps to log->-inf in the reference (rejected sample); floor it
+        # so reverse-mode AD through rejected lanes stays finite.
+        hit_dist = data.med_neg_inv_density[m] * jnp.log(jnp.maximum(u_m, 1e-37))
         accept = ok & (hit_dist <= dist_inside)
         t_med = rec1 + hit_dist / ray_len
 
@@ -267,11 +278,14 @@ def finalize_hit(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd, time,
         i = jnp.clip(best_idx, 0, data.sph_center.shape[0] - 1)
         c = data.sph_center[i] + time[:, None] * data.sph_cvec[i]
         r = data.sph_radius[i]
-        outward = (p - c) / r[:, None]
+        r_safe = jnp.where(r != 0.0, r, 1.0)
+        outward = (p - c) / r_safe[:, None]
         s_front = m3.dot(rd, outward) < 0.0
         s_normal = jnp.where(s_front[:, None], outward, -outward)
-        # compute_uv (objects.cuh:101-108)
-        theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
+        # compute_uv (objects.cuh:101-108); arccos argument clamped one ulp
+        # inside (-1,1) so pole gradients stay finite (UV_CLAMP, also used by
+        # the oracle for bit-parity).
+        theta = jnp.arccos(jnp.clip(-outward[:, 1], -UV_CLAMP, UV_CLAMP))
         phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + m3.PI
         sel = best_kind == K_SPHERE
         normal = jnp.where(sel[:, None], s_normal, normal)

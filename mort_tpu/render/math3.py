@@ -14,6 +14,18 @@ import jax.numpy as jnp
 PI = 3.14159265358979323846
 
 
+def safe_sqrt(x):
+    """sqrt that is 0 for x<=0 AND has a finite gradient there.
+
+    Reverse-mode AD of ``sqrt(maximum(x, 0))`` produces 0/0=NaN cotangents on
+    masked-out lanes (d sqrt = 1/(2 sqrt) = inf at 0, times a zero cotangent);
+    the double-where pattern keeps both forward and backward finite, which the
+    differentiable render path requires.
+    """
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
@@ -58,7 +70,7 @@ def unit_sphere_dir(u1, u2):
     """Uniform direction on the unit sphere from two uniforms (analytic
     replacement for random_unit_vector, vec3.cuh:157-160)."""
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = (2.0 * PI) * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -67,9 +79,9 @@ def cosine_dir(u1, u2):
     """Cosine-weighted hemisphere direction in local frame
     (random_cosine_direction, vec3.cuh:181-191)."""
     phi = (2.0 * PI) * u1
-    sq = jnp.sqrt(u2)
+    sq = safe_sqrt(u2)
     return jnp.stack(
-        [jnp.cos(phi) * sq, jnp.sin(phi) * sq, jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))],
+        [jnp.cos(phi) * sq, jnp.sin(phi) * sq, safe_sqrt(1.0 - u2)],
         axis=-1,
     )
 

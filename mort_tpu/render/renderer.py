@@ -37,15 +37,39 @@ def _pick_ray_batch(meta: SceneMeta, n_pixels: int) -> int:
     return min(b, max(1024, n_pixels))
 
 
+def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
+                        pixel_ids, chunk=512, differentiable=False,
+                        sample_offset=0, n_samples=None):
+    """Mean radiance over ``n_samples`` stratified samples for a flat pixel
+    id array [P] -> [P,3].  The building block for both the single-chip
+    batch loop and the sharded multi-chip path; ``sample_offset`` enables
+    progressive accumulation / checkpoint-resume across calls."""
+    spp = cam.sqrt_spp * cam.sqrt_spp
+    if n_samples is None:
+        n_samples = spp
+    basis = derive_basis(cam)
+    qf = quad_frames(data)
+    P = pixel_ids.shape[0]
+
+    def sample_body(s, acc):
+        sample_ids = jnp.full((P,), s, jnp.int32)
+        return acc + trace(data, meta, qf, cam, basis, seed, pixel_ids,
+                           sample_ids, chunk=chunk,
+                           differentiable=differentiable)
+
+    acc = jax.lax.fori_loop(sample_offset, sample_offset + n_samples,
+                            sample_body, jnp.zeros((P, 3), jnp.float32))
+    # Mean uses pixel_samples_scale = 1/sqrt_spp^2 (camera.cuh:52) so partial
+    # accumulations sum to the reference estimator.
+    return acc * (1.0 / spp)
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "ray_batch", "chunk", "differentiable"))
 def _render_flat(data: SceneData, cam: Camera, seed, *, meta: SceneMeta,
                  ray_batch: int, chunk: int, differentiable: bool):
     """Mean radiance per pixel, flat [W*H, 3] (pre-gamma linear)."""
     W, H = cam.image_width, cam.image_height
     WH = W * H
-    spp = cam.sqrt_spp * cam.sqrt_spp
-    basis = derive_basis(cam)
-    qf = quad_frames(data)
 
     B = min(ray_batch, WH) if WH < ray_batch else ray_batch
     n_batches = -(-WH // B)
@@ -54,19 +78,12 @@ def _render_flat(data: SceneData, cam: Camera, seed, *, meta: SceneMeta,
     def batch_body(i, fb):
         pix = jnp.arange(B, dtype=jnp.int32) + i * B
         pix = jnp.minimum(pix, WH - 1)   # tail batch duplicates last pixel
-
-        def sample_body(s, acc):
-            sample_ids = jnp.full((B,), s, jnp.int32)
-            return acc + trace(data, meta, qf, cam, basis, seed, pix,
-                               sample_ids, chunk=chunk,
-                               differentiable=differentiable)
-
-        acc = jax.lax.fori_loop(0, spp, sample_body,
-                                jnp.zeros((B, 3), jnp.float32))
+        acc = radiance_for_pixels(data, meta, cam, seed, pix, chunk=chunk,
+                                  differentiable=differentiable)
         return jax.lax.dynamic_update_slice(fb, acc, (i * B, 0))
 
     fb = jax.lax.fori_loop(0, n_batches, batch_body, fb)
-    fb = fb[:WH] * (1.0 / spp)
+    fb = fb[:WH]
     # NaN scrub (camera.cuh:196-198)
     fb = jnp.where(jnp.isnan(fb), 0.0, fb)
     return fb

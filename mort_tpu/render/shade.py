@@ -61,15 +61,15 @@ def _sphere_light_pdf(data: SceneData, row: int, p, direction):
     half_b = m3.dot(oc, direction)
     c_term = m3.length_sq(oc) - r * r
     disc = half_b * half_b - a * c_term
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = m3.safe_sqrt(disc)
     root1 = (-half_b - sq) / a
     root2 = (-half_b + sq) / a
     root = jnp.where(root1 > T_MIN, root1, root2)
     hits = (disc >= 0.0) & (root > T_MIN)
-    # NOTE: raw sqrt keeps the reference's NaN behaviour for p inside the
-    # light sphere (objects.cuh:118); only reachable from diffuse bounces,
-    # which are always outside.
-    cos_theta_max = jnp.sqrt(1.0 - r * r / m3.length_sq(c[None, :] - p))
+    # The reference yields NaN for p inside the light sphere
+    # (objects.cuh:118, sqrt of a negative); we clamp to 0 (gradient safety)
+    # — only reachable in degenerate scenes, and the oracle mirrors this.
+    cos_theta_max = m3.safe_sqrt(1.0 - r * r / m3.length_sq(c[None, :] - p))
     solid_angle = 2.0 * m3.PI * (1.0 - cos_theta_max)
     return jnp.where(hits, 1.0 / solid_angle, 0.0)
 
@@ -80,9 +80,9 @@ def _sphere_light_sample(data: SceneData, row: int, p, u1, u2):
     direction = c[None, :] - p
     dist_sq = m3.length_sq(direction)
     r = data.sph_radius[row]
-    z = 1.0 + u2 * (jnp.sqrt(jnp.maximum(0.0, 1.0 - r * r / dist_sq)) - 1.0)
+    z = 1.0 + u2 * (m3.safe_sqrt(1.0 - r * r / dist_sq) - 1.0)
     phi = 2.0 * m3.PI * u1
-    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    s = m3.safe_sqrt(1.0 - z * z)
     local = jnp.stack([jnp.cos(phi) * s, jnp.sin(phi) * s, z], axis=-1)
     bu, bv, bw = m3.onb_from_w(direction)
     return m3.onb_local(bu, bv, bw, local)
@@ -92,12 +92,16 @@ def _quad_light_pdf(data: SceneData, qf: QuadFrames, row: int, p, direction):
     """quad::pdf_value (objects.cuh:217-229): area-measure pdf, 0 on miss."""
     nrm = qf.normal[row]
     denom = m3.dot(direction, nrm[None, :])
-    t = (qf.D[row] - m3.dot(p, nrm[None, :])) / denom
+    ok_denom = jnp.abs(denom) >= 1e-8
+    t = jnp.where(ok_denom,
+                  (qf.D[row] - m3.dot(p, nrm[None, :]))
+                  / jnp.where(ok_denom, denom, 1.0),
+                  -1.0)
     alpha = (m3.dot(p, qf.vxw[row][None, :]) + t * m3.dot(direction, qf.vxw[row][None, :])
              - qf.qa[row])
     beta = (m3.dot(p, qf.wxu[row][None, :]) + t * m3.dot(direction, qf.wxu[row][None, :])
             - qf.qb[row])
-    hits = ((jnp.abs(denom) >= 1e-8) & (t > T_MIN)
+    hits = (ok_denom & (t > T_MIN)
             & (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1))
     dist_sq = t * t * m3.length_sq(direction)
     cosine = jnp.abs(denom) / m3.length(direction)

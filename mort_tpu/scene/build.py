@@ -541,13 +541,15 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         lights = [LightMeta(k, r) for k, r in leaves]
 
     ns, nq = len(fl.out_spheres), len(fl.out_quads)
-    centers = _pad_rows([r[0] for r in fl.out_spheres], 3, np.full(3, 1e30, np.float32))
+    # Padding rows use benign values (masked out via sph_surface/quad_surface)
+    # so reverse-mode AD never sees inf/NaN intermediates.
+    centers = _pad_rows([r[0] for r in fl.out_spheres], 3, np.zeros(3, np.float32))
     cvecs = _pad_rows([r[1] for r in fl.out_spheres], 3, np.zeros(3, np.float32))
     radii = _pad_rows([[r[2]] for r in fl.out_spheres], 1, np.zeros(1, np.float32))[:, 0]
     sph_mat = np.array([r[3] for r in fl.out_spheres] + [0] * (len(radii) - ns), np.int32)
     sph_surface = np.array(fl.sph_surface + [False] * (len(radii) - ns), np.bool_)
 
-    quad_Q = _pad_rows([r[0] for r in fl.out_quads], 3, np.full(3, 1e30, np.float32))
+    quad_Q = _pad_rows([r[0] for r in fl.out_quads], 3, np.zeros(3, np.float32))
     quad_u = _pad_rows([r[1] for r in fl.out_quads], 3, np.array([1, 0, 0], np.float32))
     quad_v = _pad_rows([r[2] for r in fl.out_quads], 3, np.array([0, 1, 0], np.float32))
     quad_mat = np.array([r[3] for r in fl.out_quads] + [0] * (len(quad_Q) - nq), np.int32)

@@ -1,0 +1,46 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh (SURVEY.md sec. 4):
+sharded renders must be identical to single-device renders (counter RNG keys
+by pixel id, so sharding cannot change any sample), and scene-parameter
+gradients of a sharded loss must be finite and match the unsharded ones.
+"""
+
+import jax
+import numpy as np
+
+from conftest import assert_images_close
+
+from mort_tpu.parallel.sharding import make_mesh, make_train_step, render_sharded
+from mort_tpu.render.renderer import render
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single(three_sphere_scene):
+    data, meta, cam = three_sphere_scene
+    single = np.asarray(render(data, meta, cam))
+    for n in (2, 8):
+        mesh = make_mesh(n)
+        sharded = render_sharded(data, meta, cam, mesh)
+        # Identical samples per pixel; only reduction order may differ.
+        assert_images_close(sharded, single, frac_ok=1.0, atol=1e-5,
+                            mean_tol=1e-6, msg=f"mesh{n}")
+
+
+def test_sharded_grads(three_sphere_scene):
+    data, meta, cam = three_sphere_scene
+    target = np.asarray(render(data, meta, cam)) * 0.9
+
+    g1 = make_train_step(meta, make_mesh(1))(data, cam, target)
+    g8 = make_train_step(meta, make_mesh(8))(data, cam, target)
+    loss1, grads1 = jax.tree.map(np.asarray, g1)
+    loss8, grads8 = jax.tree.map(np.asarray, g8)
+
+    assert np.isfinite(loss1) and np.isfinite(loss8)
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-4)
+    # some gradient signal must exist
+    assert np.abs(grads8["sph_center"]).max() > 0
+    for k in grads1:
+        np.testing.assert_allclose(grads1[k], grads8[k], rtol=5e-3, atol=1e-5,
+                                   err_msg=k)
