@@ -24,8 +24,9 @@ import jax.numpy as jnp
 
 from ..camera import Camera, CameraBasis, get_rays
 from ..scene.build import SceneData, SceneMeta
-from .intersect import QuadFrames, intersect_world
-from .shade import shade
+from .hitshade import finalize_and_shade
+from .intersect import QuadFrames, intersect_best
+from .primtable import build_prim_table
 
 
 def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
@@ -39,26 +40,28 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
     """
     ro, rd, time = get_rays(cam, basis, seed, pixel_ids, sample_ids)
     R = ro.shape[0]
+    table, mat_cols = build_prim_table(data, meta, qf)
 
     def body(state):
         bounce, L, beta, alive, ro, rd = state
-        hit = intersect_world(data, meta, qf, ro, rd, time, seed,
-                              pixel_ids, sample_ids, bounce, chunk=chunk)
-        out = shade(data, meta, qf, hit, ro, rd, time, seed,
-                    pixel_ids, sample_ids, bounce)
+        bt, bk, bi = intersect_best(data, meta, qf, ro, rd, time, seed,
+                                    pixel_ids, sample_ids, bounce, chunk=chunk)
+        out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
+                                 time, bt, bk, bi, seed,
+                                 pixel_ids, sample_ids, bounce)
 
-        miss = alive & ~hit.hit
+        miss = alive & ~out.hit
         L = L + jnp.where(miss[:, None], beta * cam.background[None, :], 0.0)
 
-        terminated = alive & hit.hit & ~out.scatter_ok
+        terminated = alive & out.hit & ~out.scatter_ok
         L = L + jnp.where(terminated[:, None], beta * out.emission, 0.0)
 
-        cont = alive & hit.hit & out.scatter_ok
+        cont = alive & out.hit & out.scatter_ok
         # skip_pdf bounces store zero emission (camera.cuh:107-110).
         L = L + jnp.where((cont & ~out.skip_pdf)[:, None], beta * out.emission, 0.0)
         beta = jnp.where(cont[:, None], beta * out.weight, beta)
 
-        ro = jnp.where(cont[:, None], hit.p, ro)
+        ro = jnp.where(cont[:, None], out.p, ro)
         rd = jnp.where(cont[:, None], out.new_dir, rd)
         return bounce + 1, L, beta, cont, ro, rd
 

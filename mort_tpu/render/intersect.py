@@ -321,10 +321,10 @@ def finalize_hit(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd, time,
     return Hit(hit=hit, t=t, p=p, normal=normal, front_face=front, u=uu, v=vv, mat=mat)
 
 
-def intersect_world(data: SceneData, meta: SceneMeta, qf: QuadFrames,
-                    ro, rd, time, seed, pixel, sample, bounce,
-                    chunk=512) -> Hit:
-    """Full world::hit (world.cuh:105-171) over a ray batch."""
+def intersect_best(data: SceneData, meta: SceneMeta, qf: QuadFrames,
+                   ro, rd, time, seed, pixel, sample, bounce, chunk=512):
+    """world::hit closest-hit search only: returns (best_t, best_kind,
+    best_idx) without gathering shading attributes."""
     R = ro.shape[0]
     best_t = jnp.full(R, INF)
     best_idx = jnp.zeros(R, jnp.int32)
@@ -344,4 +344,13 @@ def intersect_world(data: SceneData, meta: SceneMeta, qf: QuadFrames,
             data, meta, qf, ro, rd, seed, pixel, sample, bounce,
             T_MIN, best_t, best_kind, best_idx)
 
+    return best_t, best_kind, best_idx
+
+
+def intersect_world(data: SceneData, meta: SceneMeta, qf: QuadFrames,
+                    ro, rd, time, seed, pixel, sample, bounce,
+                    chunk=512) -> Hit:
+    """Full world::hit (world.cuh:105-171) over a ray batch."""
+    best_t, best_kind, best_idx = intersect_best(
+        data, meta, qf, ro, rd, time, seed, pixel, sample, bounce, chunk)
     return finalize_hit(data, meta, qf, ro, rd, time, best_t, best_kind, best_idx)

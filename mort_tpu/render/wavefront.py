@@ -1,0 +1,164 @@
+"""Persistent wavefront integrator with ray regeneration.
+
+The reference megakernel gives every pixel-thread its full spp x bounce_limit
+loop (camera.cuh:178-192) and eats the divergence on the GPU's SIMT
+hardware.  TPUs execute in lockstep, so dead lanes are pure waste: in
+scene 1 the mean path length is ~3-4 segments against a 20-bounce limit.
+
+This integrator keeps a fixed pool of P rays at ~100% occupancy:
+
+  while tasks remain or rays alive:
+      refill: dead lanes claim the next (pixel, sample) tasks via a
+              cumsum-rank over the dead mask and regenerate camera rays
+      step:   one intersect+shade bounce for the whole pool
+      retire: terminated lanes scatter-add their radiance into the
+              framebuffer (index -1 + mode='drop' for non-retiring lanes)
+
+The counter-based RNG keys draws by (pixel, sample, bounce, slot), so the
+wavefront produces exactly the same per-sample radiance values as the
+lockstep integrator (integrator.py) and the CPU oracle — only the
+accumulation order differs.  Task order is sample-major (task = s*W*H + p),
+so partial progress covers whole images first.
+
+This is also the O(1)-in-depth replacement for the reference's
+bounce_limit*W*H recursion scratch (mort.cu:712-725).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, derive_basis, get_rays
+from ..rng import DEFAULT_SEED
+from ..scene.build import SceneData, SceneMeta
+from .hitshade import finalize_and_shade
+from .intersect import intersect_best, quad_frames
+from .primtable import build_prim_table
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "pool", "chunk"),
+                   donate_argnums=(3,))
+def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
+                    task_end, *, meta: SceneMeta, pool: int, chunk: int):
+    """Run the wavefront over tasks [task_start, task_end); accumulate into
+    fb (donated).  Splitting a render across calls keeps single device
+    executions short (the tunneled TPU kills very long launches) and gives
+    checkpointable progress."""
+    W, H = cam.image_width, cam.image_height
+    WH = W * H
+    spp = cam.sqrt_spp * cam.sqrt_spp
+    total = task_end
+    inv_spp = jnp.float32(1.0 / spp)
+    basis = derive_basis(cam)
+    qf = quad_frames(data)
+    table, mat_cols = build_prim_table(data, meta, qf)
+    P = pool
+
+    def body(state):
+        (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L, beta) = state
+
+        # --- refill dead lanes with fresh camera samples ---
+        dead = ~alive
+        ranks = jnp.cumsum(dead.astype(jnp.uint32)) - 1
+        task = counter + jnp.where(dead, ranks, 0)
+        has = dead & (task < total)
+        new_pixel = (task % WH).astype(jnp.int32)
+        new_sample = (task // WH).astype(jnp.int32)
+        pixel = jnp.where(has, new_pixel, pixel)
+        sample = jnp.where(has, new_sample, sample)
+        ro_n, rd_n, t_n = get_rays(cam, basis, seed, pixel, sample)
+        hcol = has[:, None]
+        ro = jnp.where(hcol, ro_n, ro)
+        rd = jnp.where(hcol, rd_n, rd)
+        tme = jnp.where(has, t_n, tme)
+        bounce = jnp.where(has, 0, bounce)
+        L = jnp.where(hcol, 0.0, L)
+        beta = jnp.where(hcol, 1.0, beta)
+        alive = alive | has
+        counter = counter + jnp.sum(dead.astype(jnp.uint32))
+
+        # --- one bounce for the whole pool ---
+        bt, bk, bi = intersect_best(data, meta, qf, ro, rd, tme, seed,
+                                    pixel, sample, bounce, chunk=chunk)
+        out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
+                                 tme, bt, bk, bi, seed, pixel, sample, bounce)
+
+        miss = alive & ~out.hit
+        lterm = alive & out.hit & ~out.scatter_ok
+        cont = alive & out.hit & out.scatter_ok
+
+        L = L + jnp.where(miss[:, None], beta * cam.background[None, :], 0.0)
+        L = L + jnp.where(lterm[:, None], beta * out.emission, 0.0)
+        L = L + jnp.where((cont & ~out.skip_pdf)[:, None], beta * out.emission, 0.0)
+        beta = jnp.where(cont[:, None], beta * out.weight, beta)
+        ro = jnp.where(cont[:, None], out.p, ro)
+        rd = jnp.where(cont[:, None], out.new_dir, rd)
+        bounce = jnp.where(cont, bounce + 1, bounce)
+
+        exhausted = cont & (bounce >= cam.bounce_limit)
+        retiring = miss | lterm | exhausted
+        alive = cont & ~exhausted
+
+        # --- retire: scatter-add radiance of finished paths ---
+        # non-retiring lanes get an out-of-bounds index (NOT -1, which jnp
+        # wraps to the last row) and are dropped by the scatter
+        dep_idx = jnp.where(retiring, pixel, WH)
+        fb = fb.at[dep_idx].add(L * inv_spp, mode="drop")
+        return (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L, beta)
+
+    def cond(state):
+        counter, _fb, alive = state[0], state[1], state[2]
+        return (counter < total) | jnp.any(alive)
+
+    state = (
+        jnp.uint32(task_start),
+        fb,
+        jnp.zeros(P, bool),
+        jnp.zeros(P, jnp.int32),
+        jnp.zeros(P, jnp.int32),
+        jnp.zeros(P, jnp.int32),
+        jnp.zeros((P, 3), jnp.float32),
+        jnp.ones((P, 3), jnp.float32),
+        jnp.zeros(P, jnp.float32),
+        jnp.zeros((P, 3), jnp.float32),
+        jnp.ones((P, 3), jnp.float32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[1]
+
+
+def default_pool(meta: SceneMeta, n_pixels: int) -> int:
+    n_prims = max(1, meta.n_spheres + meta.n_quads)
+    pool = 1 << 18 if n_prims <= 1024 else 1 << 17
+    return min(pool, max(1024, -(-n_pixels // 1024) * 1024))
+
+
+def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
+                     seed=DEFAULT_SEED, pool=None, chunk=512,
+                     max_paths_per_call=8_000_000, fb=None, task_range=None,
+                     scrub_nan=True):
+    """Wavefront render; returns linear [H,W,3] (row 0 = bottom).
+
+    The task space [0, W*H*spp) is split into spans of at most
+    ``max_paths_per_call`` camera paths per device execution.  ``fb`` /
+    ``task_range`` allow external accumulation (progressive / checkpoint).
+    """
+    W, H = cam.image_width, cam.image_height
+    WH = W * H
+    spp = cam.sqrt_spp ** 2
+    if pool is None:
+        pool = default_pool(meta, WH)
+    if fb is None:
+        fb = jnp.zeros((WH, 3), jnp.float32)
+    start, end = task_range if task_range is not None else (0, WH * spp)
+    for s0 in range(start, end, max_paths_per_call):
+        s1 = min(s0 + max_paths_per_call, end)
+        fb = _wavefront_span(data, cam, jnp.uint32(seed), fb,
+                             jnp.uint32(s0), jnp.uint32(s1),
+                             meta=meta, pool=int(pool), chunk=int(chunk))
+    if scrub_nan:
+        fb = jnp.where(jnp.isnan(fb), 0.0, fb)
+    return fb.reshape(H, W, 3)

@@ -115,11 +115,34 @@ def build_bvh_numpy(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v):
     )
 
 
+def build_bvh_via_native(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v):
+    """C++ builder (mort_tpu/native/bvh_builder.cpp); returns the same
+    7-tuple as build_bvh_numpy, or None when the library is unavailable."""
+    from .. import native
+
+    lmins, lmaxs = leaf_aabbs(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v)
+    out = native.build_bvh_native(lmins, lmaxs)
+    if out is None:
+        return None
+    nmin, nmax, left, right, is_leaf = out
+    # native leaves reference input slots; map to (kind, row) payloads
+    kinds = np.array([k for k, _ in leaves], np.int32)
+    rows = np.array([r for _, r in leaves], np.int32)
+    lk = np.where(is_leaf, kinds[np.clip(left, 0, len(leaves) - 1)], 0).astype(np.int32)
+    rk = np.where(is_leaf, kinds[np.clip(right, 0, len(leaves) - 1)], 0).astype(np.int32)
+    l = np.where(is_leaf, rows[np.clip(left, 0, len(leaves) - 1)], left).astype(np.int32)
+    r = np.where(is_leaf, rows[np.clip(right, 0, len(leaves) - 1)], right).astype(np.int32)
+    return nmin, nmax, l, r, lk, rk, is_leaf
+
+
 def build_bvh(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v):
-    """Build and wrap as a BVHArrays pytree of jnp arrays."""
+    """Build and wrap as a BVHArrays pytree of jnp arrays (native C++ builder
+    when available, NumPy fallback)."""
     from .build import BVHArrays  # local import to avoid cycle
 
-    arrs = build_bvh_numpy(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v)
+    arrs = build_bvh_via_native(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v)
+    if arrs is None:
+        arrs = build_bvh_numpy(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v)
     nmin, nmax, l, r, lk, rk, leaf = arrs
     return BVHArrays(
         node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
