@@ -42,15 +42,21 @@ class BounceOut:
 
 def finalize_and_shade(data: SceneData, meta: SceneMeta, qf: QuadFrames,
                        table, mat_cols, ro, rd, time, best_t, best_kind,
-                       best_idx, seed, pixel, sample, bounce) -> BounceOut:
+                       best_idx, seed, pixel, sample, bounce,
+                       row=None) -> BounceOut:
+    """``row``: optional precomputed [R, >=K] joined rows (the pallas kernel
+    emits them via an in-VMEM one-hot matmul); when None, gathered here."""
     R = ro.shape[0]
     Ns = data.sph_center.shape[0]
     hit = best_kind != K_NONE
 
-    # ---- THE gather: one row of the joined table per ray ----
-    g = jnp.where(best_kind == K_QUAD, best_idx + Ns, best_idx)
-    g = jnp.clip(g, 0, table.shape[0] - 1)
-    row = table[g]                       # [R, K]
+    if row is None:
+        # ---- THE gather: one row of the joined table per ray ----
+        g = jnp.where(best_kind == K_QUAD, best_idx + Ns, best_idx)
+        g = jnp.clip(g, 0, table.shape[0] - 1)
+        row = table[g]                   # [R, K]
+    else:
+        row = row[:, :pt.K]
 
     # media override rows (few, static)
     for m, med in enumerate(meta.media):
@@ -172,14 +178,19 @@ def finalize_and_shade(data: SceneData, meta: SceneMeta, qf: QuadFrames,
             gen_dir = mat_dir
             light_pdf = 0.0
 
-        cos_pdf = jnp.maximum(0.0, m3.dot(m3.unit(gen_dir), bw) / m3.PI)
-        mat_pdf = cos_pdf
+        # One shared cosine feeds BOTH the sampling pdf (pdf.cuh:46-49) and
+        # the scatter pdf (materials.cuh:52-55).  The reference computes them
+        # separately but identically; computing them with different float
+        # roundings makes the ratio spdf/pdf — mathematically exactly 1 in
+        # no-light scenes — explode for grazing samples (tiny/tiny), which
+        # was observed as >100x radiance outliers on TPU.
+        cos_c = m3.dot(m3.unit(gen_dir), bw) / m3.PI
+        mat_pdf = jnp.maximum(0.0, cos_c)
         if MAT_ISOTROPIC in kinds_present:
             mat_pdf = jnp.where(kind == MAT_ISOTROPIC, INV_4PI, mat_pdf)
         pdf = 0.5 * light_pdf + 0.5 * mat_pdf if meta.lights else mat_pdf
 
-        cos_s = m3.dot(normal, m3.unit(gen_dir))
-        spdf = jnp.where(cos_s < 0.0, 0.0, cos_s / m3.PI)
+        spdf = jnp.where(cos_c < 0.0, 0.0, cos_c)
         if MAT_ISOTROPIC in kinds_present:
             spdf = jnp.where(kind == MAT_ISOTROPIC, INV_4PI, spdf)
 

@@ -1,22 +1,9 @@
-"""Vectorised material shading + mixture-PDF importance sampling.
+"""Light-source sampling: the hittable_pdf / mixture-PDF machinery.
 
-Replaces the reference's scatter/emit/scatterPdf switch dispatchers
-(materials.cuh:272-349) and the heap-allocated pdf object hierarchy
+Replaces the reference's heap-allocated pdf object hierarchy
 (pdf.cuh:12-107, built with `new`/`delete` per bounce — camera.cuh:142-144)
-with pure masked arithmetic over material-kind tags.  All five materials and
-both sampling strategies are evaluated branch-free; static SceneMeta flags
-prune kinds that don't occur in the scene at trace time.
-
-Monte-Carlo estimator parity (camera.cuh:96-159):
-  * metal/dielectric: skip_pdf rays, weight = attenuation, stored emission 0
-    (camera.cuh:105-113).
-  * lambertian/isotropic: 50/50 mixture of material pdf and light pdf
-    (camera.cuh:118-133, pdf.cuh:82-107), weight = attenuation *
-    scatter_pdf / pdf.  pdf == 0 contributes 0 (the reference produces
-    inf/NaN and later scrubs the pixel, camera.cuh:196-198; we clamp at the
-    source, keeping converged images identical).
-  * diffuse_light: no scatter, path terminates with emitted light
-    (materials.cuh:151-163).
+with pure vectorised functions over the static light list.  Material
+shading itself lives in hitshade.py (fused over the primitive join).
 """
 
 from __future__ import annotations
@@ -36,15 +23,6 @@ from . import math3 as m3
 from .intersect import Hit, QuadFrames, T_MIN
 
 INV_4PI = 1.0 / (4.0 * m3.PI)
-
-
-@struct.dataclass
-class ShadeOut:
-    emission: Any    # [R,3] emitted light at the hit (diffuse_light only)
-    weight: Any      # [R,3] path throughput factor attenuation*spdf/pdf
-    new_dir: Any     # [R,3] next ray direction (unnormalised, as reference)
-    scatter_ok: Any  # [R] bool: material scattered (false -> terminate)
-    skip_pdf: Any    # [R] bool: specular bounce (no MIS, no stored emission)
 
 
 # ---------------------------------------------------------------------------
@@ -144,113 +122,3 @@ def lights_sample(data, meta, p, pick_u, u1, u2):
             d = _quad_light_sample(data, light.row, p, u1, u2)
         out = d if out is None else jnp.where((pick == i)[:, None], d, out)
     return out
-
-
-# ---------------------------------------------------------------------------
-# Shading
-# ---------------------------------------------------------------------------
-
-def shade(data: SceneData, meta: SceneMeta, qf: QuadFrames, hit: Hit,
-          ro, rd, time, seed, pixel, sample, bounce) -> ShadeOut:
-    R = ro.shape[0]
-    kind_arr = jnp.asarray(meta.mat_kind, jnp.int32)
-    kind = kind_arr[hit.mat]
-    kinds_present = set(meta.mat_kind)
-
-    mix_u, pick_u, diel_u, _ = rngm.uniform4(seed, pixel, sample, 1 + bounce, rngm.SLOT_MIX)
-    m1, m2, _, _ = rngm.uniform4(seed, pixel, sample, 1 + bounce, rngm.SLOT_MAT_DIR)
-    l1, l2, _, _ = rngm.uniform4(seed, pixel, sample, 1 + bounce, rngm.SLOT_LIGHT_DIR)
-    f1, f2, _, _ = rngm.uniform4(seed, pixel, sample, 1 + bounce, rngm.SLOT_FUZZ)
-
-    needs_tex = kinds_present & {MAT_LAMBERTIAN, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC}
-    if needs_tex:
-        from .textures import texture_value
-        tex_val = texture_value(data, meta, data.mat_tex[hit.mat], hit.u, hit.v, hit.p)
-    else:
-        tex_val = jnp.ones((R, 3), jnp.float32)
-
-    # Emission (emitDispatch, materials.cuh:298-322; front-face only,
-    # materials.cuh:157-162).
-    if MAT_DIFFUSE_LIGHT in kinds_present:
-        is_light = kind == MAT_DIFFUSE_LIGHT
-        emission = jnp.where((is_light & hit.front_face)[:, None], tex_val, 0.0)
-    else:
-        emission = jnp.zeros((R, 3), jnp.float32)
-
-    # Attenuation per kind.
-    attenuation = tex_val
-    if MAT_METAL in kinds_present:
-        attenuation = jnp.where((kind == MAT_METAL)[:, None],
-                                data.mat_albedo[hit.mat], attenuation)
-    if MAT_DIELECTRIC in kinds_present:
-        # dielectric attenuation is hard-coded white (materials.cuh:109).
-        attenuation = jnp.where((kind == MAT_DIELECTRIC)[:, None], 1.0, attenuation)
-
-    skip_pdf = (kind == MAT_METAL) | (kind == MAT_DIELECTRIC)
-    scatter_ok = kind != MAT_DIFFUSE_LIGHT
-
-    # --- specular branch directions ---
-    skip_dir = jnp.zeros((R, 3), jnp.float32).at[:, 0].set(1.0)
-    if MAT_METAL in kinds_present:
-        refl = m3.reflect(rd, hit.normal)
-        fuzz = data.mat_fuzz[hit.mat]
-        metal_dir = m3.unit(refl) + fuzz[:, None] * m3.unit_sphere_dir(f1, f2)
-        skip_dir = jnp.where((kind == MAT_METAL)[:, None], metal_dir, skip_dir)
-    if MAT_DIELECTRIC in kinds_present:
-        ior = data.mat_ior[hit.mat]
-        ratio = jnp.where(hit.front_face, 1.0 / ior, ior)
-        ud = m3.unit(rd)
-        cos_theta = jnp.minimum(m3.dot(-ud, hit.normal), 1.0)
-        sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-        cannot_refract = ratio * sin_theta > 1.0
-        reflect_choice = cannot_refract | (m3.schlick(cos_theta, ratio) > diel_u)
-        d_dir = jnp.where(reflect_choice[:, None],
-                          m3.reflect(ud, hit.normal),
-                          m3.refract(ud, hit.normal, ratio))
-        skip_dir = jnp.where((kind == MAT_DIELECTRIC)[:, None], d_dir, skip_dir)
-
-    # --- pdf branch (lambertian cosine / isotropic sphere) ---
-    diffuse_present = kinds_present & {MAT_LAMBERTIAN, MAT_ISOTROPIC}
-    if diffuse_present:
-        bu, bv, bw = m3.onb_from_w(hit.normal)
-        mat_dir = m3.onb_local(bu, bv, bw, m3.cosine_dir(m1, m2))
-        if MAT_ISOTROPIC in kinds_present:
-            iso_dir = m3.unit_sphere_dir(m1, m2)
-            mat_dir = jnp.where((kind == MAT_ISOTROPIC)[:, None], iso_dir, mat_dir)
-
-        if meta.lights:
-            light_dir = lights_sample(data, meta, hit.p, pick_u, l1, l2)
-            gen_dir = jnp.where((mix_u < 0.5)[:, None], light_dir, mat_dir)
-            light_pdf = lights_pdf_value(data, meta, qf, hit.p, gen_dir)
-        else:
-            gen_dir = mat_dir
-            light_pdf = 0.0
-
-        # material pdf value of the generated direction (pdf.cuh:40-58, 24-38)
-        cos_pdf = jnp.maximum(0.0, m3.dot(m3.unit(gen_dir), bw) / m3.PI)
-        mat_pdf = cos_pdf
-        if MAT_ISOTROPIC in kinds_present:
-            mat_pdf = jnp.where(kind == MAT_ISOTROPIC, INV_4PI, mat_pdf)
-
-        if meta.lights:
-            pdf = 0.5 * light_pdf + 0.5 * mat_pdf     # mixture_pdf (pdf.cuh:91-92)
-        else:
-            pdf = mat_pdf
-
-        # scatterPdfDispatch (materials.cuh:324-349)
-        cos_s = m3.dot(hit.normal, m3.unit(gen_dir))
-        spdf = jnp.where(cos_s < 0.0, 0.0, cos_s / m3.PI)
-        if MAT_ISOTROPIC in kinds_present:
-            spdf = jnp.where(kind == MAT_ISOTROPIC, INV_4PI, spdf)
-
-        diffuse_weight = jnp.where((pdf > 0.0)[:, None],
-                                   attenuation * (spdf / jnp.where(pdf > 0, pdf, 1.0))[:, None],
-                                   0.0)
-    else:
-        gen_dir = skip_dir
-        diffuse_weight = jnp.zeros((R, 3), jnp.float32)
-
-    weight = jnp.where(skip_pdf[:, None], attenuation, diffuse_weight)
-    new_dir = jnp.where(skip_pdf[:, None], skip_dir, gen_dir)
-    return ShadeOut(emission=emission, weight=weight, new_dir=new_dir,
-                    scatter_ok=scatter_ok, skip_pdf=skip_pdf)

@@ -35,18 +35,28 @@ from ..camera import Camera, derive_basis, get_rays
 from ..rng import DEFAULT_SEED
 from ..scene.build import SceneData, SceneMeta
 from .hitshade import finalize_and_shade
-from .intersect import intersect_best, quad_frames
+from .intersect import T_MIN, intersect_best, media_pass, quad_frames
 from .primtable import build_prim_table
+from . import pallas_intersect as pal
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "pool", "chunk"),
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "pool", "chunk", "window",
+                                    "use_pallas"),
                    donate_argnums=(3,))
 def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
-                    task_end, *, meta: SceneMeta, pool: int, chunk: int):
+                    task_end, *, meta: SceneMeta, pool: int, chunk: int,
+                    window: int, use_pallas: bool):
     """Run the wavefront over tasks [task_start, task_end); accumulate into
     fb (donated).  Splitting a render across calls keeps single device
     executions short (the tunneled TPU kills very long launches) and gives
-    checkpointable progress."""
+    checkpointable progress.
+
+    ``window``: bounce steps between refill/deposit rounds — the framebuffer
+    scatter-add is expensive on TPU, so it is amortised over several bounces
+    (lanes that terminate mid-window idle until the window ends).
+    ``use_pallas``: fused closest-hit + one-hot row kernel (TPU backend).
+    """
     W, H = cam.image_width, cam.image_height
     WH = W * H
     spp = cam.sqrt_spp * cam.sqrt_spp
@@ -57,8 +67,42 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
     table, mat_cols = build_prim_table(data, meta, qf)
     P = pool
 
+    def bounce_step(carry, pixel, sample, tme):
+        alive, ro, rd, bounce, L, beta, useful = carry
+        useful = useful + jnp.sum(alive.astype(jnp.uint32))
+        if use_pallas:
+            bt, bk, bi, row = pal.closest_hit_pallas(
+                data, meta, qf, table, ro, rd, tme)
+            if meta.media:
+                bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
+                                        pixel, sample, bounce, T_MIN,
+                                        bt, bk, bi)
+        else:
+            bt, bk, bi = intersect_best(data, meta, qf, ro, rd, tme, seed,
+                                        pixel, sample, bounce, chunk=chunk)
+            row = None
+        out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
+                                 tme, bt, bk, bi, seed, pixel, sample,
+                                 bounce, row=row)
+
+        miss = alive & ~out.hit
+        lterm = alive & out.hit & ~out.scatter_ok
+        cont = alive & out.hit & out.scatter_ok
+
+        L = L + jnp.where(miss[:, None], beta * cam.background[None, :], 0.0)
+        L = L + jnp.where(lterm[:, None], beta * out.emission, 0.0)
+        L = L + jnp.where((cont & ~out.skip_pdf)[:, None], beta * out.emission, 0.0)
+        beta = jnp.where(cont[:, None], beta * out.weight, beta)
+        ro = jnp.where(cont[:, None], out.p, ro)
+        rd = jnp.where(cont[:, None], out.new_dir, rd)
+        bounce = jnp.where(cont, bounce + 1, bounce)
+        exhausted = cont & (bounce >= cam.bounce_limit)
+        alive = cont & ~exhausted
+        return alive, ro, rd, bounce, L, beta, useful
+
     def body(state):
-        (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L, beta) = state
+        (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L, beta,
+         iters, useful) = state
 
         # --- refill dead lanes with fresh camera samples ---
         dead = ~alive
@@ -79,35 +123,28 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         beta = jnp.where(hcol, 1.0, beta)
         alive = alive | has
         counter = counter + jnp.sum(dead.astype(jnp.uint32))
+        entering = alive
 
-        # --- one bounce for the whole pool ---
-        bt, bk, bi = intersect_best(data, meta, qf, ro, rd, tme, seed,
-                                    pixel, sample, bounce, chunk=chunk)
-        out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
-                                 tme, bt, bk, bi, seed, pixel, sample, bounce)
+        # --- a window of bounce steps between deposits ---
+        carry = (alive, ro, rd, bounce, L, beta, useful)
+        carry = jax.lax.fori_loop(
+            0, window, lambda _j, c: bounce_step(c, pixel, sample, tme),
+            carry)
+        alive, ro, rd, bounce, L, beta, useful = carry
+        iters = iters + 1
 
-        miss = alive & ~out.hit
-        lterm = alive & out.hit & ~out.scatter_ok
-        cont = alive & out.hit & out.scatter_ok
-
-        L = L + jnp.where(miss[:, None], beta * cam.background[None, :], 0.0)
-        L = L + jnp.where(lterm[:, None], beta * out.emission, 0.0)
-        L = L + jnp.where((cont & ~out.skip_pdf)[:, None], beta * out.emission, 0.0)
-        beta = jnp.where(cont[:, None], beta * out.weight, beta)
-        ro = jnp.where(cont[:, None], out.p, ro)
-        rd = jnp.where(cont[:, None], out.new_dir, rd)
-        bounce = jnp.where(cont, bounce + 1, bounce)
-
-        exhausted = cont & (bounce >= cam.bounce_limit)
-        retiring = miss | lterm | exhausted
-        alive = cont & ~exhausted
-
-        # --- retire: scatter-add radiance of finished paths ---
+        # --- retire: one scatter for every path finished in the window ---
+        retiring = entering & ~alive
         # non-retiring lanes get an out-of-bounds index (NOT -1, which jnp
-        # wraps to the last row) and are dropped by the scatter
+        # wraps to the last row) and are dropped by the scatter.  Three
+        # scalar scatters: TPU scatter of [P] scalars is ~5x faster than of
+        # [P,3] rows (measured).
         dep_idx = jnp.where(retiring, pixel, WH)
-        fb = fb.at[dep_idx].add(L * inv_spp, mode="drop")
-        return (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L, beta)
+        dep = L * inv_spp
+        fb = tuple(fb[c].at[dep_idx].add(dep[:, c], mode="drop")
+                   for c in range(3))
+        return (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L,
+                beta, iters, useful)
 
     def cond(state):
         counter, _fb, alive = state[0], state[1], state[2]
@@ -115,7 +152,7 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
 
     state = (
         jnp.uint32(task_start),
-        fb,
+        (fb[:, 0], fb[:, 1], fb[:, 2]),
         jnp.zeros(P, bool),
         jnp.zeros(P, jnp.int32),
         jnp.zeros(P, jnp.int32),
@@ -125,9 +162,11 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         jnp.zeros(P, jnp.float32),
         jnp.zeros((P, 3), jnp.float32),
         jnp.ones((P, 3), jnp.float32),
+        jnp.uint32(0),
+        jnp.uint32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    return state[1]
+    return jnp.stack(state[1], axis=-1), state[-2], state[-1]
 
 
 def default_pool(meta: SceneMeta, n_pixels: int) -> int:
@@ -139,7 +178,7 @@ def default_pool(meta: SceneMeta, n_pixels: int) -> int:
 def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
                      seed=DEFAULT_SEED, pool=None, chunk=512,
                      max_paths_per_call=8_000_000, fb=None, task_range=None,
-                     scrub_nan=True):
+                     scrub_nan=True, window=None, use_pallas=None):
     """Wavefront render; returns linear [H,W,3] (row 0 = bottom).
 
     The task space [0, W*H*spp) is split into spans of at most
@@ -151,14 +190,25 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
     spp = cam.sqrt_spp ** 2
     if pool is None:
         pool = default_pool(meta, WH)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if window is None:
+        window = 3 if use_pallas else 2
     if fb is None:
         fb = jnp.zeros((WH, 3), jnp.float32)
     start, end = task_range if task_range is not None else (0, WH * spp)
+    stats = {"iterations": 0, "useful_segments": 0, "slots_executed": 0}
     for s0 in range(start, end, max_paths_per_call):
         s1 = min(s0 + max_paths_per_call, end)
-        fb = _wavefront_span(data, cam, jnp.uint32(seed), fb,
-                             jnp.uint32(s0), jnp.uint32(s1),
-                             meta=meta, pool=int(pool), chunk=int(chunk))
+        fb, iters, useful = _wavefront_span(
+            data, cam, jnp.uint32(seed), fb,
+            jnp.uint32(s0), jnp.uint32(s1),
+            meta=meta, pool=int(pool), chunk=int(chunk),
+            window=int(window), use_pallas=bool(use_pallas))
+        stats["iterations"] += int(iters)
+        stats["useful_segments"] += int(useful)
+        stats["slots_executed"] += int(iters) * int(window) * int(pool)
+    render_wavefront.last_stats = stats
     if scrub_nan:
         fb = jnp.where(jnp.isnan(fb), 0.0, fb)
     return fb.reshape(H, W, 3)

@@ -435,27 +435,28 @@ class Oracle:
                 local = _cosine_dir(m1, m2)
                 mat_dir = local[0] * bu + local[1] * bv + local[2] * bw
 
+            # NB: one shared cosine feeds both mat_pdf and spdf (matching the
+            # device renderer; mathematically identical to the reference's
+            # separately-computed cosθ/π pair, pdf.cuh:46-49 +
+            # materials.cuh:52-55, but immune to rounding-ratio blowup).
             if self.meta.lights:
                 light_dir = self.light_sample(p, pick_u, l1, l2)
                 gen_dir = light_dir if mix_u < 0.5 else mat_dir
-                lp = self.light_pdf_value(p, gen_dir)
-                if kind == MAT_ISOTROPIC:
-                    mp = F(1) / (F(4) * PI)
-                else:
-                    mp = max(F(0), F(np.dot(_unit(gen_dir), bw)) / PI)
-                pdf = F(0.5) * lp + F(0.5) * mp
             else:
                 gen_dir = mat_dir
-                if kind == MAT_ISOTROPIC:
-                    pdf = F(1) / (F(4) * PI)
-                else:
-                    pdf = max(F(0), F(np.dot(_unit(gen_dir), bw)) / PI)
 
             if kind == MAT_ISOTROPIC:
-                spdf = F(1) / (F(4) * PI)
+                mp = spdf = F(1) / (F(4) * PI)
             else:
-                cos_s = F(np.dot(normal, _unit(gen_dir)))
-                spdf = F(0) if cos_s < 0 else cos_s / PI
+                cos_c = F(np.dot(_unit(gen_dir), bw)) / PI
+                mp = max(F(0), cos_c)
+                spdf = F(0) if cos_c < 0 else cos_c
+
+            if self.meta.lights:
+                lp = self.light_pdf_value(p, gen_dir)
+                pdf = F(0.5) * lp + F(0.5) * mp
+            else:
+                pdf = mp
 
             if pdf > 0:
                 beta = beta * attenuation * (spdf / pdf)
