@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--scene", type=int, default=1)
     args = ap.parse_args()
 
-    from mort_tpu.render.renderer import render
+    from mort_tpu.render.wavefront import render_wavefront as render_fn
     from mort_tpu.scene import scenes as sc
 
     if args.scene == 1:
@@ -47,15 +47,17 @@ def main():
           f"@ {cam.sqrt_spp**2}spp depth {cam.bounce_limit}, "
           f"{meta.n_spheres} spheres {meta.n_quads} quads", file=sys.stderr)
 
-    # compile + warmup
+    # compile + warmup (wavefront renderer: the TPU fast path; splits the
+    # task space into bounded device executions, so it is also what long
+    # tunneled-TPU sessions must use)
     t0 = time.perf_counter()
-    render(data, meta, cam, seed=69420).block_until_ready()
+    render_fn(data, meta, cam, seed=69420).block_until_ready()
     print(f"compile+first render: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(args.frames):
         t0 = time.perf_counter()
-        render(data, meta, cam, seed=69420 + i).block_until_ready()
+        render_fn(data, meta, cam, seed=69420 + i).block_until_ready()
         times.append(time.perf_counter() - t0)
     wall = min(times)
 

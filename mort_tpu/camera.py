@@ -130,13 +130,16 @@ def derive_basis(cam: Camera) -> CameraBasis:
     )
 
 
-def get_rays(cam: Camera, basis: CameraBasis, seed, pixel_ids, sample_ids):
+def get_rays_soa(cam: Camera, basis: CameraBasis, seed, pixel_ids, sample_ids):
     """Generate camera rays for flat pixel ids + stratified sample ids.
 
     pixel_id = x + y * W;  sample_id = s_i + s_j * sqrt_spp
-    (camera.cuh:187-192, 210-220).  Returns (origin [R,3], dir [R,3],
-    time [R]).  Directions are NOT normalised, as in the reference.
+    (camera.cuh:187-192, 210-220).  Returns (origin V3, dir V3, time [R]) in
+    structure-of-arrays layout (see render/vec.py).  Directions are NOT
+    normalised, as in the reference.
     """
+    from .render.vec import V3
+
     W = cam.image_width
     x = (pixel_ids % W).astype(jnp.float32)
     y = (pixel_ids // W).astype(jnp.float32)
@@ -145,26 +148,38 @@ def get_rays(cam: Camera, basis: CameraBasis, seed, pixel_ids, sample_ids):
     recip = jnp.float32(1.0 / cam.sqrt_spp)
 
     u1, u2, u_time, _ = uniform4(seed, pixel_ids, sample_ids, 0, SLOT_CAM_PIXEL)
-    d1, d2, _, _ = uniform4(seed, pixel_ids, sample_ids, 0, SLOT_CAM_LENS)
 
     # sample_square_stratified (camera.cuh:236-242)
-    px = (s_i + u1) * recip - 0.5
-    py = (s_j + u2) * recip - 0.5
+    sx = x + (s_i + u1) * recip - 0.5
+    sy = y + (s_j + u2) * recip - 0.5
 
-    pixel_sample = (
-        basis.pixel00_loc[None, :]
-        + (x + px)[:, None] * basis.pixel_delta_u[None, :]
-        + (y + py)[:, None] * basis.pixel_delta_v[None, :]
-    )
+    p00, du, dv = basis.pixel00_loc, basis.pixel_delta_u, basis.pixel_delta_v
+    pixel_sample = V3(p00[0] + sx * du[0] + sy * dv[0],
+                      p00[1] + sx * du[1] + sy * dv[1],
+                      p00[2] + sx * du[2] + sy * dv[2])
 
     # defocus_disk_sample (camera.cuh:230-234) with polar disk sampling.
+    c = basis.center
+    d1, d2, _, _ = uniform4(seed, pixel_ids, sample_ids, 0, SLOT_CAM_LENS)
     r = jnp.sqrt(d1)
     phi = (2.0 * jnp.pi) * d2
-    disk = (
-        basis.center[None, :]
-        + (r * jnp.cos(phi))[:, None] * basis.defocus_disk_u[None, :]
-        + (r * jnp.sin(phi))[:, None] * basis.defocus_disk_v[None, :]
-    )
-    origin = jnp.where(basis.use_defocus, disk, basis.center[None, :])
+    a = r * jnp.cos(phi)
+    b = r * jnp.sin(phi)
+    ku, kv = basis.defocus_disk_u, basis.defocus_disk_v
+    disk = V3(c[0] + a * ku[0] + b * kv[0],
+              c[1] + a * ku[1] + b * kv[1],
+              c[2] + a * ku[2] + b * kv[2])
+    zero = jnp.zeros_like(d1)
+    center = V3(c[0] + zero, c[1] + zero, c[2] + zero)
+    use = basis.use_defocus
+    origin = V3(jnp.where(use, disk.x, center.x),
+                jnp.where(use, disk.y, center.y),
+                jnp.where(use, disk.z, center.z))
     direction = pixel_sample - origin
     return origin, direction, u_time
+
+
+def get_rays(cam: Camera, basis: CameraBasis, seed, pixel_ids, sample_ids):
+    """AoS wrapper over :func:`get_rays_soa`: returns ([R,3], [R,3], [R])."""
+    ro, rd, t = get_rays_soa(cam, basis, seed, pixel_ids, sample_ids)
+    return ro.to_rows(), rd.to_rows(), t

@@ -22,11 +22,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..camera import Camera, CameraBasis, get_rays
+from ..camera import Camera, CameraBasis, get_rays_soa
 from ..scene.build import SceneData, SceneMeta
 from .hitshade import finalize_and_shade
 from .intersect import QuadFrames, intersect_best
 from .primtable import build_prim_table
+from . import vec as v3
+from .vec import V3
 
 
 def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
@@ -38,45 +40,43 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
     differentiable); the default uses a while_loop that exits as soon as all
     rays in the batch have terminated.
     """
-    ro, rd, time = get_rays(cam, basis, seed, pixel_ids, sample_ids)
-    R = ro.shape[0]
+    ro, rd, time = get_rays_soa(cam, basis, seed, pixel_ids, sample_ids)
+    R = pixel_ids.shape[0]
     table, mat_cols = build_prim_table(data, meta, qf)
+    bg = cam.background
 
     def body(state):
         bounce, L, beta, alive, ro, rd = state
-        bt, bk, bi = intersect_best(data, meta, qf, ro, rd, time, seed,
-                                    pixel_ids, sample_ids, bounce, chunk=chunk)
+        bt, bk, bi = intersect_best(data, meta, qf, ro.to_rows(), rd.to_rows(),
+                                    time, seed, pixel_ids, sample_ids, bounce,
+                                    chunk=chunk)
         out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
                                  time, bt, bk, bi, seed,
                                  pixel_ids, sample_ids, bounce)
 
         miss = alive & ~out.hit
-        L = L + jnp.where(miss[:, None], beta * cam.background[None, :], 0.0)
+        L = L + v3.where(miss, beta * V3(bg[0], bg[1], bg[2]), 0.0)
 
         terminated = alive & out.hit & ~out.scatter_ok
-        L = L + jnp.where(terminated[:, None], beta * out.emission, 0.0)
+        L = L + v3.where(terminated, beta * out.emission, 0.0)
 
         cont = alive & out.hit & out.scatter_ok
         # skip_pdf bounces store zero emission (camera.cuh:107-110).
-        L = L + jnp.where((cont & ~out.skip_pdf)[:, None], beta * out.emission, 0.0)
-        beta = jnp.where(cont[:, None], beta * out.weight, beta)
+        L = L + v3.where(cont & ~out.skip_pdf, beta * out.emission, 0.0)
+        beta = v3.where(cont, beta * out.weight, beta)
 
-        ro = jnp.where(cont[:, None], out.p, ro)
-        rd = jnp.where(cont[:, None], out.new_dir, rd)
+        ro = v3.where(cont, out.p, ro)
+        rd = v3.where(cont, out.new_dir, rd)
         return bounce + 1, L, beta, cont, ro, rd
 
     def cond(state):
         bounce, _L, _beta, alive, _ro, _rd = state
         return (bounce < cam.bounce_limit) & jnp.any(alive)
 
-    state = (jnp.int32(0),
-             jnp.zeros((R, 3), jnp.float32),
-             jnp.ones((R, 3), jnp.float32),
-             jnp.ones(R, bool),
-             ro, rd)
+    state = (jnp.int32(0), V3.zeros(R), V3.ones(R), jnp.ones(R, bool), ro, rd)
     if differentiable:
         state = jax.lax.fori_loop(0, cam.bounce_limit,
                                   lambda _i, s: body(s), state)
     else:
         state = jax.lax.while_loop(cond, body, state)
-    return state[1]
+    return state[1].to_rows()

@@ -193,15 +193,17 @@ def quad_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd, t_min,
 def _sphere_roots_single(data, row, ro, rd):
     """Both quadratic roots of one sphere over (-inf, inf), for media
     boundaries (objects.cuh:400-404).  Static spheres only: reference media
-    wrap non-moving boundaries (center(time) ignored for cvec=0)."""
+    wrap non-moving boundaries (center(time) ignored for cvec=0).
+    ro/rd are SoA V3 (render/vec.py)."""
+    from . import vec as v3
     c = data.sph_center[row]
     r = data.sph_radius[row]
-    oc = ro - c[None, :]
-    a = m3.length_sq(rd)
-    half_b = m3.dot(oc, rd)
-    c_term = m3.length_sq(oc) - r * r
+    oc = ro - v3.V3(c[0], c[1], c[2])
+    a = v3.length_sq(rd)
+    half_b = v3.dot(oc, rd)
+    c_term = v3.length_sq(oc) - r * r
     disc = half_b * half_b - a * c_term
-    sq = m3.safe_sqrt(disc)
+    sq = v3.safe_sqrt(disc)
     ok = disc >= 0.0
     root1 = (-half_b - sq) / a
     root2 = (-half_b + sq) / a
@@ -209,16 +211,22 @@ def _sphere_roots_single(data, row, ro, rd):
 
 
 def _quad_t_single(data, qf: QuadFrames, row, ro, rd):
-    """One quad's plane hit over (-inf, inf) for media boundaries."""
+    """One quad's plane hit over (-inf, inf) for media boundaries (SoA)."""
+    from . import vec as v3
     nrm = qf.normal[row]
-    denom = m3.dot(rd, nrm[None, :])
+    nrm = v3.V3(nrm[0], nrm[1], nrm[2])
+    vxw = qf.vxw[row]
+    vxw = v3.V3(vxw[0], vxw[1], vxw[2])
+    wxu = qf.wxu[row]
+    wxu = v3.V3(wxu[0], wxu[1], wxu[2])
+    denom = v3.dot(rd, nrm)
     ok_denom = jnp.abs(denom) >= 1e-8
     t = jnp.where(ok_denom,
-                  (qf.D[row] - m3.dot(ro, nrm[None, :]))
+                  (qf.D[row] - v3.dot(ro, nrm))
                   / jnp.where(ok_denom, denom, 1.0),
                   -1.0)
-    alpha = m3.dot(ro, qf.vxw[row][None, :]) + t * m3.dot(rd, qf.vxw[row][None, :]) - qf.qa[row]
-    beta = m3.dot(ro, qf.wxu[row][None, :]) + t * m3.dot(rd, qf.wxu[row][None, :]) - qf.qb[row]
+    alpha = v3.dot(ro, vxw) + t * v3.dot(rd, vxw) - qf.qa[row]
+    beta = v3.dot(ro, wxu) + t * v3.dot(rd, wxu) - qf.qb[row]
     ok = ok_denom & (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
     return [(t, ok)]
 
@@ -226,18 +234,25 @@ def _quad_t_single(data, qf: QuadFrames, row, ro, rd):
 def media_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd,
                seed, pixel, sample, bounce, t_min, best_t, best_kind, best_idx):
     """Constant media free-flight sampling (objects.cuh:396-434), evaluated
-    after all surfaces with a running closest-t (see module docstring)."""
+    after all surfaces with a running closest-t (see module docstring).
+    ro/rd are SoA V3."""
+    from . import vec as v3
     for m, med in enumerate(meta.media):
         cands = []
         for row in med.sphere_rows:
             cands += _sphere_roots_single(data, row, ro, rd)
         for row in med.quad_rows:
             cands += _quad_t_single(data, qf, row, ro, rd)
-        ts = jnp.stack([jnp.where(ok, t, INF) for t, ok in cands], axis=-1)  # [R,K]
-        t1 = jnp.min(ts, axis=-1)
+        # few candidates (media wrap 1-6 faces): pairwise mins, no [R,K] stack
+        t1 = None
+        for t, ok in cands:
+            c = jnp.where(ok, t, INF)
+            t1 = c if t1 is None else jnp.minimum(t1, c)
         found1 = jnp.isfinite(t1)
-        ts2 = jnp.where(ts > (t1[:, None] + MEDIUM_EPS), ts, INF)
-        t2 = jnp.min(ts2, axis=-1)
+        t2 = None
+        for t, ok in cands:
+            c = jnp.where(ok & (t > t1 + MEDIUM_EPS), t, INF)
+            t2 = c if t2 is None else jnp.minimum(t2, c)
         found2 = jnp.isfinite(t2)
 
         rec1 = jnp.maximum(t1, t_min)
@@ -245,7 +260,7 @@ def media_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd,
         ok = found1 & found2 & (rec1 < rec2)
         rec1 = jnp.maximum(rec1, 0.0)
 
-        ray_len = m3.length(rd)
+        ray_len = v3.length(rd)
         dist_inside = (rec2 - rec1) * ray_len
         u_m = rngm.uniform4(seed, pixel, sample, 1 + bounce, rngm.SLOT_MEDIUM0 + m)[0]
         # u=0 maps to log->-inf in the reference (rejected sample); floor it
@@ -340,9 +355,10 @@ def intersect_best(data: SceneData, meta: SceneMeta, qf: QuadFrames,
     best_idx = jnp.where(q_better, qi, sph_i)
 
     if meta.media:
+        from .vec import V3
         best_t, best_kind, best_idx = media_pass(
-            data, meta, qf, ro, rd, seed, pixel, sample, bounce,
-            T_MIN, best_t, best_kind, best_idx)
+            data, meta, qf, V3.from_rows(ro), V3.from_rows(rd),
+            seed, pixel, sample, bounce, T_MIN, best_t, best_kind, best_idx)
 
     return best_t, best_kind, best_idx
 

@@ -31,13 +31,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..camera import Camera, derive_basis, get_rays
+from ..camera import Camera, derive_basis, get_rays_soa
 from ..rng import DEFAULT_SEED
 from ..scene.build import SceneData, SceneMeta
 from .hitshade import finalize_and_shade
 from .intersect import T_MIN, intersect_best, media_pass, quad_frames
 from .primtable import build_prim_table
 from . import pallas_intersect as pal
+from . import vec as v3
+from .vec import V3
 
 
 @functools.partial(jax.jit,
@@ -67,34 +69,37 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
     table, mat_cols = build_prim_table(data, meta, qf)
     P = pool
 
+    bg = cam.background
+
     def bounce_step(carry, pixel, sample, tme):
         alive, ro, rd, bounce, L, beta, useful = carry
         useful = useful + jnp.sum(alive.astype(jnp.uint32))
         if use_pallas:
-            bt, bk, bi, row = pal.closest_hit_pallas(
+            bt, bk, bi, row_t = pal.closest_hit_pallas(
                 data, meta, qf, table, ro, rd, tme)
             if meta.media:
                 bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
                                         pixel, sample, bounce, T_MIN,
                                         bt, bk, bi)
         else:
-            bt, bk, bi = intersect_best(data, meta, qf, ro, rd, tme, seed,
+            bt, bk, bi = intersect_best(data, meta, qf, ro.to_rows(),
+                                        rd.to_rows(), tme, seed,
                                         pixel, sample, bounce, chunk=chunk)
-            row = None
+            row_t = None
         out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
                                  tme, bt, bk, bi, seed, pixel, sample,
-                                 bounce, row=row)
+                                 bounce, row_t=row_t)
 
         miss = alive & ~out.hit
         lterm = alive & out.hit & ~out.scatter_ok
         cont = alive & out.hit & out.scatter_ok
 
-        L = L + jnp.where(miss[:, None], beta * cam.background[None, :], 0.0)
-        L = L + jnp.where(lterm[:, None], beta * out.emission, 0.0)
-        L = L + jnp.where((cont & ~out.skip_pdf)[:, None], beta * out.emission, 0.0)
-        beta = jnp.where(cont[:, None], beta * out.weight, beta)
-        ro = jnp.where(cont[:, None], out.p, ro)
-        rd = jnp.where(cont[:, None], out.new_dir, rd)
+        L = L + v3.where(miss, beta * V3(bg[0], bg[1], bg[2]), 0.0)
+        L = L + v3.where(lterm, beta * out.emission, 0.0)
+        L = L + v3.where(cont & ~out.skip_pdf, beta * out.emission, 0.0)
+        beta = v3.where(cont, beta * out.weight, beta)
+        ro = v3.where(cont, out.p, ro)
+        rd = v3.where(cont, out.new_dir, rd)
         bounce = jnp.where(cont, bounce + 1, bounce)
         exhausted = cont & (bounce >= cam.bounce_limit)
         alive = cont & ~exhausted
@@ -113,14 +118,13 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         new_sample = (task // WH).astype(jnp.int32)
         pixel = jnp.where(has, new_pixel, pixel)
         sample = jnp.where(has, new_sample, sample)
-        ro_n, rd_n, t_n = get_rays(cam, basis, seed, pixel, sample)
-        hcol = has[:, None]
-        ro = jnp.where(hcol, ro_n, ro)
-        rd = jnp.where(hcol, rd_n, rd)
+        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, pixel, sample)
+        ro = v3.where(has, ro_n, ro)
+        rd = v3.where(has, rd_n, rd)
         tme = jnp.where(has, t_n, tme)
         bounce = jnp.where(has, 0, bounce)
-        L = jnp.where(hcol, 0.0, L)
-        beta = jnp.where(hcol, 1.0, beta)
+        L = v3.where(has, 0.0, L)
+        beta = v3.where(has, 1.0, beta)
         alive = alive | has
         counter = counter + jnp.sum(dead.astype(jnp.uint32))
         entering = alive
@@ -140,9 +144,9 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         # scalar scatters: TPU scatter of [P] scalars is ~5x faster than of
         # [P,3] rows (measured).
         dep_idx = jnp.where(retiring, pixel, WH)
-        dep = L * inv_spp
-        fb = tuple(fb[c].at[dep_idx].add(dep[:, c], mode="drop")
-                   for c in range(3))
+        fb = (fb[0].at[dep_idx].add(L.x * inv_spp, mode="drop"),
+              fb[1].at[dep_idx].add(L.y * inv_spp, mode="drop"),
+              fb[2].at[dep_idx].add(L.z * inv_spp, mode="drop"))
         return (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L,
                 beta, iters, useful)
 
@@ -157,11 +161,11 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         jnp.zeros(P, jnp.int32),
         jnp.zeros(P, jnp.int32),
         jnp.zeros(P, jnp.int32),
-        jnp.zeros((P, 3), jnp.float32),
-        jnp.ones((P, 3), jnp.float32),
+        V3.zeros(P),
+        V3.ones(P),
         jnp.zeros(P, jnp.float32),
-        jnp.zeros((P, 3), jnp.float32),
-        jnp.ones((P, 3), jnp.float32),
+        V3.zeros(P),
+        V3.ones(P),
         jnp.uint32(0),
         jnp.uint32(0),
     )

@@ -1,0 +1,105 @@
+"""Pallas closest-hit kernel parity vs the XLA intersector (interpret mode).
+
+The fused kernel (render/pallas_intersect.py) must agree with
+intersect.intersect_best on (t, kind, idx) and produce joined rows matching
+primtable.build_prim_table — across sphere-only, quad-only, and mixed
+scenes, including motion blur.  Runs in pl.pallas_call(interpret=True) so it
+executes on the CPU test backend.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mort_tpu import World, make_camera
+from mort_tpu.render import pallas_intersect as pal
+from mort_tpu.render.intersect import (
+    K_QUAD, K_SPHERE, T_MIN, intersect_best, quad_frames,
+)
+from mort_tpu.render.primtable import build_prim_table
+
+
+def _rand_rays(n, seed=0, spread=6.0):
+    rng = np.random.RandomState(seed)
+    ro = jnp.asarray(rng.randn(n, 3) * spread, jnp.float32)
+    rd = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    tme = jnp.asarray(rng.rand(n), jnp.float32)
+    return ro, rd, tme
+
+
+def _mixed_world(n_sph=7, n_quad=5, moving=False):
+    rng = np.random.RandomState(1)
+    w = World()
+    m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    for i in range(n_sph):
+        c = rng.randn(3) * 3
+        if moving and i % 2 == 0:
+            w.sphere(c, 0.3 + rng.rand(), m, center2=c + rng.randn(3) * 0.5)
+        else:
+            w.sphere(c, 0.3 + rng.rand(), m)
+    for _ in range(n_quad):
+        w.quad(rng.randn(3) * 3, rng.randn(3) * 2, rng.randn(3) * 2, m)
+    return w
+
+
+def _check_parity(w, n_rays=256, seed=3):
+    data, meta = w.compile()
+    qf = quad_frames(data)
+    table, _ = build_prim_table(data, meta, qf)
+    ro, rd, tme = _rand_rays(n_rays, seed)
+
+    bt, bk, bi = intersect_best(data, meta, qf, ro, rd, tme,
+                                jnp.uint32(1), jnp.zeros(n_rays, jnp.int32),
+                                jnp.zeros(n_rays, jnp.int32), 0)
+    pt_, pk, pi, prow = pal.closest_hit_pallas(data, meta, qf, table, ro, rd,
+                                               tme, interpret=True)
+
+    bt_n, bk_n, bi_n = map(np.asarray, (bt, bk, bi))
+    pt_n, pk_n, pi_n = map(np.asarray, (pt_, pk, pi))
+    hit = np.isfinite(bt_n)
+    assert (np.isfinite(pt_n) == hit).all()
+    np.testing.assert_allclose(pt_n[hit], bt_n[hit], rtol=3e-5, atol=1e-5)
+    assert (pk_n[hit] == bk_n[hit]).all()
+    assert (pi_n[hit] == bi_n[hit]).all()
+
+    # joined rows: one-hot matmul gather must equal a direct row gather
+    # (kernel emits them transposed, [32, R])
+    ns = data.sph_center.shape[0]
+    g = np.where(bk_n == K_QUAD, bi_n + ns, bi_n)
+    want_rows = np.asarray(table)[np.clip(g, 0, table.shape[0] - 1)]
+    got = np.asarray(prow).T[:, :table.shape[1]]
+    np.testing.assert_allclose(got[hit], want_rows[hit], rtol=1e-6, atol=1e-6)
+
+
+def test_mixed_scene_parity():
+    _check_parity(_mixed_world())
+
+
+def test_sphere_only_parity():
+    _check_parity(_mixed_world(n_sph=9, n_quad=0))
+
+
+def test_quad_only_parity():
+    _check_parity(_mixed_world(n_sph=0, n_quad=6))
+
+
+def test_moving_spheres_parity():
+    _check_parity(_mixed_world(n_sph=8, n_quad=3, moving=True))
+
+
+def test_all_miss():
+    w = World()
+    m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    w.sphere([0, 0, -100], 1.0, m)
+    data, meta = w.compile()
+    qf = quad_frames(data)
+    table, _ = build_prim_table(data, meta, qf)
+    n = 128
+    ro = jnp.zeros((n, 3), jnp.float32)
+    rd = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+    tme = jnp.zeros(n, jnp.float32)
+    t, k, i, row = pal.closest_hit_pallas(data, meta, qf, table, ro, rd, tme,
+                                          interpret=True)
+    assert not np.isfinite(np.asarray(t)).any()
+    assert (np.asarray(k) == 0).all()

@@ -1,0 +1,63 @@
+"""Wavefront integrator equivalence vs the lockstep integrator.
+
+The counter-based RNG keys every draw by (pixel, sample, bounce, slot), so
+the wavefront pool's regeneration/compaction must produce exactly the same
+per-sample radiance as the lockstep loop — only the floating-point
+accumulation order differs (wavefront.py module docstring).
+"""
+
+import numpy as np
+import pytest
+
+from mort_tpu import render
+from mort_tpu.render.wavefront import render_wavefront
+
+
+def _compare(data, meta, cam, seed=7, **wf_kwargs):
+    want = np.asarray(render(data, meta, cam, seed=seed))
+    got = np.asarray(render_wavefront(data, meta, cam, seed=seed,
+                                      use_pallas=False, **wf_kwargs))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_wavefront_matches_lockstep(three_sphere_scene):
+    data, meta, cam = three_sphere_scene
+    _compare(data, meta, cam)
+
+
+def test_wavefront_small_pool_and_spans(three_sphere_scene):
+    """Tiny pool + multiple device executions exercise refill/retire edges."""
+    data, meta, cam = three_sphere_scene
+    _compare(data, meta, cam, pool=1024, max_paths_per_call=1500)
+
+
+def test_wavefront_window_invariance(three_sphere_scene):
+    data, meta, cam = three_sphere_scene
+    a = np.asarray(render_wavefront(data, meta, cam, seed=3, window=1,
+                                    use_pallas=False))
+    b = np.asarray(render_wavefront(data, meta, cam, seed=3, window=4,
+                                    use_pallas=False))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_wavefront_pallas_interpret(three_sphere_scene):
+    """Fused-kernel wavefront path in interpret mode (tiny image)."""
+    data, meta, cam = three_sphere_scene
+    cam = cam.replace(image_width=16, image_height=9, sqrt_spp=1,
+                      bounce_limit=4)
+    want = np.asarray(render_wavefront(data, meta, cam, seed=5,
+                                       use_pallas=False))
+    from mort_tpu.render import pallas_intersect as pal
+    orig = pal.closest_hit_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    try:
+        pal.closest_hit_pallas = interp
+        got = np.asarray(render_wavefront(data, meta, cam, seed=5,
+                                          use_pallas=True))
+    finally:
+        pal.closest_hit_pallas = orig
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
