@@ -60,7 +60,7 @@ def _build(args):
 
 def cmd_render(args):
     from .io.image import save_npz, save_png
-    from .render.renderer import render
+    from .render.wavefront import render_wavefront as render
     from .rng import DEFAULT_SEED
 
     data, meta, cam = _build(args)
@@ -85,7 +85,7 @@ def cmd_render(args):
 
 
 def cmd_bench(args):
-    from .render.renderer import render
+    from .render.wavefront import render_wavefront as render
     from .rng import DEFAULT_SEED
 
     data, meta, cam = _build(args)

@@ -19,7 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from .camera import Camera
-from .render.renderer import render, to_u8_np
+from .render.renderer import to_u8_np
+from .render.wavefront import render_wavefront
 from .rng import DEFAULT_SEED
 
 
@@ -126,7 +127,7 @@ def view(data, meta, cam: Camera, commands, seed=DEFAULT_SEED,
             ctl.mouse_drag(event[1], event[2])
             continue
         t0 = time.perf_counter()
-        frame = np.asarray(render(data, meta, ctl.cam, seed=seed))
+        frame = np.asarray(render_wavefront(data, meta, ctl.cam, seed=seed))
         dt = time.perf_counter() - t0
         total += dt
         frames += 1

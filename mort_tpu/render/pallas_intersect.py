@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import K_NONE, K_QUAD, K_SPHERE
 
 TR = 1024     # rays per grid step (lane-minor)
-CK = 512      # primitives per inner loop step (sublane-major)
+CK = 512      # primitives per row-gather chunk (sublane-major)
+CL = 128      # primitives per cull sub-cluster (AABB-guarded test block)
 NEG_BIG = -1e30
 BIG = 3.0e38  # python literal: jnp scalars would be captured consts in the kernel
 
@@ -108,6 +109,57 @@ def pack_joined_table(data, meta, table):
     return jnp.concatenate(parts, axis=0).T
 
 
+def cluster_boxes(data, meta, qf):
+    """[n_sub, 8] f32 conservative AABBs of CL-sized primitive sub-clusters
+    (min xyz, max xyz, 0, 0), sphere clusters first then quad clusters —
+    matching the kernel's sub-cluster iteration order.  Row order is the
+    registry order, which is spatially coherent for the reference scenes
+    (e.g. random_spheres appends in grid order, mort.cu:141-171).  Culling
+    decisions are non-differentiable (like BVH traversal): boxes are
+    stop_gradient'ed.
+
+    Moving spheres use their swept box over t in [0,1] (objects.cuh:50-54);
+    non-surface (skip) and padding rows get empty boxes (min > max)."""
+    import jax
+    parts = []
+    if meta.n_spheres:
+        n = data.sph_center.shape[0]
+        cpad = _round_up(max(n, CK), CK)
+        c = data.sph_center
+        cv = data.sph_cvec
+        r = jnp.abs(data.sph_radius)[:, None]
+        lo = jnp.minimum(c, c + cv) - r
+        hi = jnp.maximum(c, c + cv) + r
+        surf = data.sph_surface[:, None]
+        lo = jnp.where(surf, lo, BIG)
+        hi = jnp.where(surf, hi, -BIG)
+        lo = jnp.pad(lo, ((0, cpad - n), (0, 0)), constant_values=BIG)
+        hi = jnp.pad(hi, ((0, cpad - n), (0, 0)), constant_values=-BIG)
+        parts.append((lo, hi))
+    if meta.n_quads:
+        n = data.quad_Q.shape[0]
+        qpad = _round_up(max(n, CK), CK)
+        Q = data.quad_Q
+        corners = jnp.stack([Q, Q + data.quad_u, Q + data.quad_v,
+                             Q + data.quad_u + data.quad_v], axis=0)
+        lo = jnp.min(corners, axis=0) - 1e-4
+        hi = jnp.max(corners, axis=0) + 1e-4
+        surf = data.quad_surface[:, None]
+        lo = jnp.where(surf, lo, BIG)
+        hi = jnp.where(surf, hi, -BIG)
+        lo = jnp.pad(lo, ((0, qpad - n), (0, 0)), constant_values=BIG)
+        hi = jnp.pad(hi, ((0, qpad - n), (0, 0)), constant_values=-BIG)
+        parts.append((lo, hi))
+    subs = []
+    for lo, hi in parts:
+        ns = lo.shape[0] // CL
+        subs.append(jnp.concatenate(
+            [jnp.min(lo.reshape(ns, CL, 3), axis=1),
+             jnp.max(hi.reshape(ns, CL, 3), axis=1),
+             jnp.zeros((ns, 2), jnp.float32)], axis=1))
+    return jax.lax.stop_gradient(jnp.concatenate(subs, axis=0))
+
+
 def _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz, tme, a, ro_rd, ro_sq,
                        sph, t_min, moving):
     """Closest sphere candidate within one (CK, TR) tile.
@@ -176,12 +228,21 @@ def _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz, qd, t_min):
     return ct, ci
 
 
-def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min):
-    """Kernel over (rays, [sph], [quad], tbl) — the sphere/quad tables are
-    passed only when their chunk count is nonzero (scene 1 has no quads; the
-    Cornell walls scene has no surface spheres), so empty kinds cost zero
-    kernel work and zero VMEM."""
+def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
+    """Kernel over (rays, [sph], [quad], tbl, [cbox]) — the sphere/quad
+    tables are passed only when their chunk count is nonzero (scene 1 has no
+    quads; the Cornell walls scene has no surface spheres), so empty kinds
+    cost zero kernel work and zero VMEM.
+
+    ``cull``: primitive tests run per CL-sized sub-cluster behind a scalar
+    any-lane AABB slab pre-test (cbox in SMEM) — a whole 128-prim block is
+    skipped when no ray in the tile can reach its box closer than its
+    current best hit.  The one-hot row gather is likewise skipped for CK
+    chunks that hold no winner.
+    """
     n_all_chunks = n_sph_chunks + n_quad_chunks
+    n_sph_sub = n_sph_chunks * (CK // CL)
+    n_quad_sub = n_quad_chunks * (CK // CL)
 
     def kernel(*refs):
         it = iter(refs)
@@ -189,6 +250,7 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min):
         sph_ref = next(it) if n_sph_chunks else None
         quad_ref = next(it) if n_quad_chunks else None
         tbl_ref = next(it)
+        cbox_ref = next(it) if cull else None
         (row_ref,) = it
 
         rays = rays_ref[:]                      # (8, TR)
@@ -199,35 +261,99 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min):
         ro_rd = rox * rdx + roy * rdy + roz * rdz
         ro_sq = rox * rox + roy * roy + roz * roz
 
+        if cull:
+            tiny = 1e-30
+            irdx = 1.0 / jnp.where(jnp.abs(rdx) < tiny,
+                                   jnp.where(rdx >= 0, tiny, -tiny), rdx)
+            irdy = 1.0 / jnp.where(jnp.abs(rdy) < tiny,
+                                   jnp.where(rdy >= 0, tiny, -tiny), rdy)
+            irdz = 1.0 / jnp.where(jnp.abs(rdz) < tiny,
+                                   jnp.where(rdz >= 0, tiny, -tiny), rdz)
+
+        def cluster_reachable(s, bt):
+            """Scalar: does any lane's ray enter sub-cluster s's box in
+            (t_min, per-lane best_t)?  Slab test (aabb.cuh:37-59)."""
+            x0 = (cbox_ref[s, 0] - rox) * irdx
+            x1 = (cbox_ref[s, 3] - rox) * irdx
+            y0 = (cbox_ref[s, 1] - roy) * irdy
+            y1 = (cbox_ref[s, 4] - roy) * irdy
+            z0 = (cbox_ref[s, 2] - roz) * irdz
+            z1 = (cbox_ref[s, 5] - roz) * irdz
+            lo = jnp.maximum(jnp.maximum(jnp.minimum(x0, x1),
+                                         jnp.minimum(y0, y1)),
+                             jnp.minimum(z0, z1))
+            hi = jnp.minimum(jnp.minimum(jnp.maximum(x0, x1),
+                                         jnp.maximum(y0, y1)),
+                             jnp.maximum(z0, z1))
+            return jnp.any((lo <= hi) & (hi > t_min) & (lo < bt))
+
         best_t = jnp.full((1, TR), BIG, jnp.float32)
         best_i = jnp.zeros((1, TR), jnp.int32)
 
-        def sph_body(k, carry):
-            bt, bi = carry
-            sph = sph_ref[pl.ds(k * CK, CK), :]
-            ct, ci = _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz, tme,
-                                        a, ro_rd, ro_sq, sph, t_min, moving)
-            better = ct < bt
-            return (jnp.where(better, ct, bt),
-                    jnp.where(better, ci + k * CK, bi))
+        if cull:
+            def sph_body(s, carry):
+                def do(carry):
+                    bt, bi = carry
+                    sph = sph_ref[pl.ds(s * CL, CL), :]
+                    ct, ci = _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz,
+                                                tme, a, ro_rd, ro_sq, sph,
+                                                t_min, moving)
+                    better = ct < bt
+                    return (jnp.where(better, ct, bt),
+                            jnp.where(better, ci + s * CL, bi))
+                return jax.lax.cond(cluster_reachable(s, carry[0]), do,
+                                    lambda c: c, carry)
 
-        if n_sph_chunks:
-            best_t, best_i = jax.lax.fori_loop(0, n_sph_chunks, sph_body,
-                                               (best_t, best_i))
+            if n_sph_chunks:
+                best_t, best_i = jax.lax.fori_loop(0, n_sph_sub, sph_body,
+                                                   (best_t, best_i))
+        else:
+            def sph_body(k, carry):
+                bt, bi = carry
+                sph = sph_ref[pl.ds(k * CK, CK), :]
+                ct, ci = _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz, tme,
+                                            a, ro_rd, ro_sq, sph, t_min, moving)
+                better = ct < bt
+                return (jnp.where(better, ct, bt),
+                        jnp.where(better, ci + k * CK, bi))
+
+            if n_sph_chunks:
+                best_t, best_i = jax.lax.fori_loop(0, n_sph_chunks, sph_body,
+                                                   (best_t, best_i))
 
         qt = jnp.full((1, TR), BIG, jnp.float32)
         qi = jnp.zeros((1, TR), jnp.int32)
 
-        def quad_body(k, carry):
-            bt, bi = carry
-            qd = quad_ref[pl.ds(k * CK, CK), :]
-            ct, ci = _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz, qd, t_min)
-            better = ct < bt
-            return (jnp.where(better, ct, bt),
-                    jnp.where(better, ci + k * CK, bi))
+        if cull:
+            def quad_body(s, carry):
+                def do(carry):
+                    bt, bi = carry
+                    qd = quad_ref[pl.ds(s * CL, CL), :]
+                    ct, ci = _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz,
+                                              qd, t_min)
+                    better = ct < bt
+                    return (jnp.where(better, ct, bt),
+                            jnp.where(better, ci + s * CL, bi))
+                # quad boxes sit after the sphere boxes; prune against the
+                # running quad-best AND the sphere best (closest-hit overall)
+                bt_eff = jnp.minimum(carry[0], best_t)
+                return jax.lax.cond(
+                    cluster_reachable(n_sph_sub + s, bt_eff), do,
+                    lambda c: c, carry)
 
-        if n_quad_chunks:
-            qt, qi = jax.lax.fori_loop(0, n_quad_chunks, quad_body, (qt, qi))
+            if n_quad_chunks:
+                qt, qi = jax.lax.fori_loop(0, n_quad_sub, quad_body, (qt, qi))
+        else:
+            def quad_body(k, carry):
+                bt, bi = carry
+                qd = quad_ref[pl.ds(k * CK, CK), :]
+                ct, ci = _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz, qd, t_min)
+                better = ct < bt
+                return (jnp.where(better, ct, bt),
+                        jnp.where(better, ci + k * CK, bi))
+
+            if n_quad_chunks:
+                qt, qi = jax.lax.fori_loop(0, n_quad_chunks, quad_body, (qt, qi))
 
         q_better = qt < best_t        # sphere wins ties (world.cuh order)
         t = jnp.where(q_better, qt, best_t)
@@ -243,7 +369,7 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min):
         # pass's per-column reads are contiguous.
         gidx = jnp.where(q_better, idx + n_sph_chunks * CK, idx)
 
-        def row_body(k, acc):
+        def row_chunk(k, acc):
             tbl = tbl_ref[:, pl.ds(k * CK, CK)]          # (32, CK)
             local = gidx - k * CK
             oh = (local == jax.lax.broadcasted_iota(
@@ -251,6 +377,15 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min):
             return acc + jax.lax.dot_general(
                 tbl, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+
+        if cull and n_all_chunks > 1:
+            def row_body(k, acc):
+                lo = k * CK
+                present = jnp.any(hit & (gidx >= lo) & (gidx < lo + CK))
+                return jax.lax.cond(present, lambda a: row_chunk(k, a),
+                                    lambda a: a, acc)
+        else:
+            row_body = row_chunk
 
         row = jax.lax.fori_loop(0, n_all_chunks, row_body,
                                 jnp.zeros((ROW_K, TR), jnp.float32))
@@ -266,15 +401,15 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_sph_chunks", "n_quad_chunks",
-                                    "moving", "t_min", "interpret"))
-def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, *, n_sph_chunks,
-                 n_quad_chunks, moving, t_min, interpret=False):
+                                    "moving", "t_min", "cull", "interpret"))
+def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
+                 n_quad_chunks, moving, t_min, cull, interpret=False):
     R = rays.shape[1]
     grid = R // TR
     out_shape = [
         jax.ShapeDtypeStruct((ROW_K, R), jnp.float32),
     ]
-    kernel = _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min)
+    kernel = _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull)
     operands = [rays]
     in_specs = [pl.BlockSpec((8, TR), lambda i: (0, i), memory_space=pltpu.VMEM)]
     if n_sph_chunks:
@@ -288,6 +423,9 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, *, n_sph_chunks,
     operands.append(joined_tbl)
     in_specs.append(pl.BlockSpec(joined_tbl.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
+    if cull:
+        operands.append(cbox)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     [row] = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -303,13 +441,14 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, *, n_sph_chunks,
 
 
 def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
-                       interpret=False):
+                       interpret=False, cull=None):
     """Closest sphere/quad hit + joined shading row via the fused kernel.
 
     ``table`` is primtable.build_prim_table's join.  ``ro``/``rd`` are SoA
     V3 (render/vec.py) or [R,3] arrays.  Returns (best_t [R] with +inf
     misses, best_kind [R], best_idx [R], row_t [32, R]).  Rays are padded
-    to a TR multiple internally.
+    to a TR multiple internally.  ``cull`` (default: auto) enables the
+    sub-cluster AABB pre-test.
     """
     from .vec import V3
     if not isinstance(ro, V3):
@@ -322,11 +461,17 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
     sph_tbl = pack_spheres(data, meta)
     quad_tbl = pack_quads(data, meta, qf)
     joined = pack_joined_table(data, meta, table)
+    n_prims = (meta.n_spheres + meta.n_quads)
+    if cull is None:
+        # guard overhead beats the savings below ~1 CK chunk of work
+        # (measured: scene 1's 485 spheres render faster unguarded)
+        cull = n_prims > CK
+    cbox = cluster_boxes(data, meta, qf) if cull else None
     t, kind, idx, row = _closest_hit(
-        rays, sph_tbl, quad_tbl, joined,
+        rays, sph_tbl, quad_tbl, joined, cbox,
         n_sph_chunks=sph_tbl.shape[0] // CK,
         n_quad_chunks=quad_tbl.shape[0] // CK,
         moving=bool(meta.any_moving), t_min=float(t_min),
-        interpret=interpret)
+        cull=bool(cull), interpret=interpret)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]

@@ -1,23 +1,31 @@
-"""Persistent wavefront integrator with ray regeneration.
+"""Persistent wavefront integrator with in-window ray regeneration.
 
 The reference megakernel gives every pixel-thread its full spp x bounce_limit
 loop (camera.cuh:178-192) and eats the divergence on the GPU's SIMT
 hardware.  TPUs execute in lockstep, so dead lanes are pure waste: in
 scene 1 the mean path length is ~3-4 segments against a 20-bounce limit.
 
-This integrator keeps a fixed pool of P rays at ~100% occupancy:
+This integrator keeps a fixed pool of P lanes at high occupancy.  A *task*
+is a (pixel, sample-chunk) pair — ``spt`` stratified samples of one pixel.
+Owning a whole chunk lets a lane accumulate radiance in a register
+(``Lsum``) and regenerate its next camera ray the moment a path terminates,
+*inside* the bounce loop; the expensive framebuffer scatter-add happens only
+once per finished chunk (~spt paths), and refill/deposit rounds (the other
+per-window overhead) amortise over long windows without the occupancy
+collapse a retire-only-at-window-end design has:
 
-  while tasks remain or rays alive:
-      refill: dead lanes claim the next (pixel, sample) tasks via a
-              cumsum-rank over the dead mask and regenerate camera rays
-      step:   one intersect+shade bounce for the whole pool
-      retire: terminated lanes scatter-add their radiance into the
-              framebuffer (index -1 + mode='drop' for non-retiring lanes)
+  while tasks remain or lanes active:
+      deposit: lanes whose chunk completed scatter-add Lsum into the
+               framebuffer (out-of-range index + mode='drop' otherwise)
+      refill:  idle lanes claim the next tasks via a cumsum-rank
+      window:  several intersect+shade bounce steps; a terminated path
+               immediately folds into Lsum and respawns the lane on the
+               next sample of its chunk
 
 The counter-based RNG keys draws by (pixel, sample, bounce, slot), so the
 wavefront produces exactly the same per-sample radiance values as the
 lockstep integrator (integrator.py) and the CPU oracle — only the
-accumulation order differs.  Task order is sample-major (task = s*W*H + p),
+accumulation order differs.  Task order is chunk-major (task = c*W*H + p),
 so partial progress covers whole images first.
 
 This is also the O(1)-in-depth replacement for the reference's
@@ -44,19 +52,18 @@ from .vec import V3
 
 @functools.partial(jax.jit,
                    static_argnames=("meta", "pool", "chunk", "window",
-                                    "use_pallas"),
+                                    "use_pallas", "spt"),
                    donate_argnums=(3,))
 def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
                     task_end, *, meta: SceneMeta, pool: int, chunk: int,
-                    window: int, use_pallas: bool):
-    """Run the wavefront over tasks [task_start, task_end); accumulate into
-    fb (donated).  Splitting a render across calls keeps single device
+                    window: int, use_pallas: bool, spt: int):
+    """Run the wavefront over chunk-tasks [task_start, task_end); accumulate
+    into fb (donated).  Splitting a render across calls keeps single device
     executions short (the tunneled TPU kills very long launches) and gives
     checkpointable progress.
 
-    ``window``: bounce steps between refill/deposit rounds — the framebuffer
-    scatter-add is expensive on TPU, so it is amortised over several bounces
-    (lanes that terminate mid-window idle until the window ends).
+    ``spt``: stratified samples per task (lane-local accumulation length).
+    ``window``: bounce steps between deposit/refill rounds.
     ``use_pallas``: fused closest-hit + one-hot row kernel (TPU backend).
     """
     W, H = cam.image_width, cam.image_height
@@ -71,8 +78,9 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
 
     bg = cam.background
 
-    def bounce_step(carry, pixel, sample, tme):
-        alive, ro, rd, bounce, L, beta, useful = carry
+    def bounce_step(carry):
+        (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum, beta,
+         useful) = carry
         useful = useful + jnp.sum(alive.astype(jnp.uint32))
         if use_pallas:
             bt, bk, bi, row_t = pal.closest_hit_pallas(
@@ -101,62 +109,85 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         ro = v3.where(cont, out.p, ro)
         rd = v3.where(cont, out.new_dir, rd)
         bounce = jnp.where(cont, bounce + 1, bounce)
-        exhausted = cont & (bounce >= cam.bounce_limit)
-        alive = cont & ~exhausted
-        return alive, ro, rd, bounce, L, beta, useful
+        path_on = cont & (bounce < cam.bounce_limit)
+
+        # fold the finished path into the lane's chunk sum and respawn on
+        # the next sample of the chunk, inside the window
+        path_done = alive & ~path_on
+        Lsum = Lsum + v3.where(path_done, L, 0.0)
+        more = path_done & (sample + 1 < send)
+        sample = jnp.where(more, sample + 1, sample)
+        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, pixel, sample)
+        ro = v3.where(more, ro_n, ro)
+        rd = v3.where(more, rd_n, rd)
+        tme = jnp.where(more, t_n, tme)
+        bounce = jnp.where(more, 0, bounce)
+        L = v3.where(more, 0.0, L)
+        beta = v3.where(more, 1.0, beta)
+        alive = path_on | more
+        return (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum,
+                beta, useful)
 
     def body(state):
-        (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L, beta,
-         iters, useful) = state
+        (counter, fb, alive, pend, pixel, sample, send, ro, rd, tme, bounce,
+         L, Lsum, beta, iters, useful) = state
 
-        # --- refill dead lanes with fresh camera samples ---
-        dead = ~alive
-        ranks = jnp.cumsum(dead.astype(jnp.uint32)) - 1
-        task = counter + jnp.where(dead, ranks, 0)
-        has = dead & (task < total)
+        # --- deposit chunk sums finished in the previous window ---
+        # non-depositing lanes get an out-of-bounds index (NOT -1, which jnp
+        # wraps to the last row) and are dropped by the scatter.  Three
+        # scalar scatters: TPU scatter of [P] scalars is ~5x faster than of
+        # [P,3] rows (measured).
+        dep_idx = jnp.where(pend, pixel, WH)
+        fb = (fb[0].at[dep_idx].add(Lsum.x * inv_spp, mode="drop"),
+              fb[1].at[dep_idx].add(Lsum.y * inv_spp, mode="drop"),
+              fb[2].at[dep_idx].add(Lsum.z * inv_spp, mode="drop"))
+        Lsum = v3.where(pend, 0.0, Lsum)
+
+        # --- refill idle lanes with fresh chunk-tasks ---
+        idle = ~alive
+        ranks = jnp.cumsum(idle.astype(jnp.uint32)) - 1
+        task = counter + jnp.where(idle, ranks, 0)
+        has = idle & (task < total)
         new_pixel = (task % WH).astype(jnp.int32)
-        new_sample = (task // WH).astype(jnp.int32)
+        chunk_id = (task // WH).astype(jnp.int32)
+        s0 = chunk_id * spt
         pixel = jnp.where(has, new_pixel, pixel)
-        sample = jnp.where(has, new_sample, sample)
+        sample = jnp.where(has, s0, sample)
+        send = jnp.where(has, jnp.minimum(s0 + spt, spp), send)
         ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, pixel, sample)
         ro = v3.where(has, ro_n, ro)
         rd = v3.where(has, rd_n, rd)
         tme = jnp.where(has, t_n, tme)
         bounce = jnp.where(has, 0, bounce)
         L = v3.where(has, 0.0, L)
+        Lsum = v3.where(has, 0.0, Lsum)
         beta = v3.where(has, 1.0, beta)
         alive = alive | has
-        counter = counter + jnp.sum(dead.astype(jnp.uint32))
+        counter = counter + jnp.sum(idle.astype(jnp.uint32))
         entering = alive
 
-        # --- a window of bounce steps between deposits ---
-        carry = (alive, ro, rd, bounce, L, beta, useful)
-        carry = jax.lax.fori_loop(
-            0, window, lambda _j, c: bounce_step(c, pixel, sample, tme),
-            carry)
-        alive, ro, rd, bounce, L, beta, useful = carry
+        # --- a window of bounce steps ---
+        carry = (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum,
+                 beta, useful)
+        carry = jax.lax.fori_loop(0, window, lambda _j, c: bounce_step(c),
+                                  carry)
+        (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum, beta,
+         useful) = carry
         iters = iters + 1
 
-        # --- retire: one scatter for every path finished in the window ---
-        retiring = entering & ~alive
-        # non-retiring lanes get an out-of-bounds index (NOT -1, which jnp
-        # wraps to the last row) and are dropped by the scatter.  Three
-        # scalar scatters: TPU scatter of [P] scalars is ~5x faster than of
-        # [P,3] rows (measured).
-        dep_idx = jnp.where(retiring, pixel, WH)
-        fb = (fb[0].at[dep_idx].add(L.x * inv_spp, mode="drop"),
-              fb[1].at[dep_idx].add(L.y * inv_spp, mode="drop"),
-              fb[2].at[dep_idx].add(L.z * inv_spp, mode="drop"))
-        return (counter, fb, alive, pixel, sample, bounce, ro, rd, tme, L,
-                beta, iters, useful)
+        # lanes whose chunk completed during the window deposit next round
+        pend = entering & ~alive
+        return (counter, fb, alive, pend, pixel, sample, send, ro, rd, tme,
+                bounce, L, Lsum, beta, iters, useful)
 
     def cond(state):
-        counter, _fb, alive = state[0], state[1], state[2]
-        return (counter < total) | jnp.any(alive)
+        counter, _fb, alive, pend = state[0], state[1], state[2], state[3]
+        return (counter < total) | jnp.any(alive) | jnp.any(pend)
 
     state = (
         jnp.uint32(task_start),
         (fb[:, 0], fb[:, 1], fb[:, 2]),
+        jnp.zeros(P, bool),
         jnp.zeros(P, bool),
         jnp.zeros(P, jnp.int32),
         jnp.zeros(P, jnp.int32),
@@ -164,6 +195,8 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         V3.zeros(P),
         V3.ones(P),
         jnp.zeros(P, jnp.float32),
+        jnp.zeros(P, jnp.int32),
+        V3.zeros(P),
         V3.zeros(P),
         V3.ones(P),
         jnp.uint32(0),
@@ -181,13 +214,14 @@ def default_pool(meta: SceneMeta, n_pixels: int) -> int:
 
 def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
                      seed=DEFAULT_SEED, pool=None, chunk=512,
-                     max_paths_per_call=8_000_000, fb=None, task_range=None,
-                     scrub_nan=True, window=None, use_pallas=None):
+                     max_paths_per_call=200_000_000, fb=None, task_range=None,
+                     scrub_nan=True, window=None, use_pallas=None, spt=None):
     """Wavefront render; returns linear [H,W,3] (row 0 = bottom).
 
-    The task space [0, W*H*spp) is split into spans of at most
-    ``max_paths_per_call`` camera paths per device execution.  ``fb`` /
-    ``task_range`` allow external accumulation (progressive / checkpoint).
+    The task space — W*H pixels x ceil(spp/spt) sample-chunks — is split
+    into spans of at most ``max_paths_per_call`` camera paths per device
+    execution.  ``fb`` / ``task_range`` (in chunk-task units) allow external
+    accumulation (progressive / checkpoint).
     """
     W, H = cam.image_width, cam.image_height
     WH = W * H
@@ -196,19 +230,24 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         pool = default_pool(meta, WH)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if spt is None:
+        spt = min(spp, 16)
     if window is None:
-        window = 3 if use_pallas else 2
+        window = 8 if use_pallas else 3
     if fb is None:
         fb = jnp.zeros((WH, 3), jnp.float32)
-    start, end = task_range if task_range is not None else (0, WH * spp)
+    n_chunks = -(-spp // spt)
+    n_tasks = WH * n_chunks
+    start, end = task_range if task_range is not None else (0, n_tasks)
+    tasks_per_call = max(pool, max_paths_per_call // spt)
     stats = {"iterations": 0, "useful_segments": 0, "slots_executed": 0}
-    for s0 in range(start, end, max_paths_per_call):
-        s1 = min(s0 + max_paths_per_call, end)
+    for s0 in range(start, end, tasks_per_call):
+        s1 = min(s0 + tasks_per_call, end)
         fb, iters, useful = _wavefront_span(
             data, cam, jnp.uint32(seed), fb,
             jnp.uint32(s0), jnp.uint32(s1),
             meta=meta, pool=int(pool), chunk=int(chunk),
-            window=int(window), use_pallas=bool(use_pallas))
+            window=int(window), use_pallas=bool(use_pallas), spt=int(spt))
         stats["iterations"] += int(iters)
         stats["useful_segments"] += int(useful)
         stats["slots_executed"] += int(iters) * int(window) * int(pool)

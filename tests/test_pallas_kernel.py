@@ -43,7 +43,7 @@ def _mixed_world(n_sph=7, n_quad=5, moving=False):
     return w
 
 
-def _check_parity(w, n_rays=256, seed=3):
+def _check_parity(w, n_rays=256, seed=3, cull=None):
     data, meta = w.compile()
     qf = quad_frames(data)
     table, _ = build_prim_table(data, meta, qf)
@@ -53,7 +53,7 @@ def _check_parity(w, n_rays=256, seed=3):
                                 jnp.uint32(1), jnp.zeros(n_rays, jnp.int32),
                                 jnp.zeros(n_rays, jnp.int32), 0)
     pt_, pk, pi, prow = pal.closest_hit_pallas(data, meta, qf, table, ro, rd,
-                                               tme, interpret=True)
+                                               tme, interpret=True, cull=cull)
 
     bt_n, bk_n, bi_n = map(np.asarray, (bt, bk, bi))
     pt_n, pk_n, pi_n = map(np.asarray, (pt_, pk, pi))
@@ -86,6 +86,26 @@ def test_quad_only_parity():
 
 def test_moving_spheres_parity():
     _check_parity(_mixed_world(n_sph=8, n_quad=3, moving=True))
+
+
+def test_cull_parity_mixed():
+    """AABB sub-cluster culling must not change any result."""
+    _check_parity(_mixed_world(n_sph=40, n_quad=20), cull=True)
+
+
+def test_cull_parity_moving():
+    _check_parity(_mixed_world(n_sph=30, n_quad=6, moving=True), cull=True)
+
+
+def test_cull_parity_spread_spheres():
+    """Spatially spread spheres (several boxes genuinely culled per tile)."""
+    rng = np.random.RandomState(9)
+    w = World()
+    m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    for i in range(200):
+        c = [i * 5.0 - 500.0, rng.randn() * 2, rng.randn() * 2]
+        w.sphere(c, 0.4 + rng.rand(), m)
+    _check_parity(w, cull=True)
 
 
 def test_all_miss():
