@@ -14,13 +14,50 @@ from ..scene.build import SceneData, SceneMeta
 from ..scene.types import TEX_CHECKER, TEX_IMAGE, TEX_NOISE, TEX_SOLID
 
 
-def _perlin_noise(p, ranvec, perm):
-    """Perlin noise with the reference's exact (double-)smoothing semantics
+# Lattice-hash constants (three large odd multipliers + an avalanche mix).
+_HX = 0x8DA6B343
+_HY = 0xD8163841
+_HZ = 0xCB1AB31F
+_HM = 0x9E3779B1
+
+
+def _hash3(i, j, k, salt):
+    """Gather-free lattice hash: the TPU replacement for the reference's
+    permutation-table xor (textures.cuh:189-192).  Table gathers are
+    catastrophically slow on TPU (no vector gather unit); an integer
+    avalanche hash of the lattice coordinates gives the same
+    "random value per lattice point" semantics in pure VPU ops."""
+    h = (i.astype(jnp.uint32) * jnp.uint32(_HX)
+         ^ j.astype(jnp.uint32) * jnp.uint32(_HY)
+         ^ k.astype(jnp.uint32) * jnp.uint32(_HZ)) + jnp.uint32(salt)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(_HM)
+    return h ^ (h >> jnp.uint32(16))
+
+
+def _grad_dot(h, wx, wy, wz):
+    """Dot of a hashed gradient with the corner weight vector, using the
+    12-edge-direction gradient set of improved Perlin noise (components in
+    {-1,0,1}) — branchless selects instead of the reference's gathered
+    random unit vectors (textures.cuh:192, 246-249)."""
+    hh = h & jnp.uint32(15)
+    u = jnp.where(hh < 8, wx, wy)
+    v = jnp.where(hh < 4, wy,
+                  jnp.where((hh == 12) | (hh == 14), wx, wz))
+    u = jnp.where((h & jnp.uint32(1)) != 0, -u, u)
+    v = jnp.where((h & jnp.uint32(2)) != 0, -v, v)
+    return u + v
+
+
+def _perlin_noise(p, salt):
+    """Perlin noise with the reference's (double-)smoothing semantics
     (textures.cuh:174-196 + 232-250: noise() Hermite-smooths u/v/w, then
     perlin_interp smooths them again for the lattice weights while the
-    gradient offset vectors use the once-smoothed values).
+    gradient offset vectors use the once-smoothed values).  Lattice
+    randomness is the hash above instead of gathered tables — same
+    algorithm, TPU-native realisation.
 
-    p: [R,3]; ranvec: [256,3]; perm: [3,256] -> [R]
+    p: [R,3] -> [R]
     """
     pf = jnp.floor(p)
     uvw = p - pf                      # raw fractional part
@@ -32,31 +69,26 @@ def _perlin_noise(p, ranvec, perm):
     for di in (0, 1):
         for dj in (0, 1):
             for dk in (0, 1):
-                idx = (
-                    perm[0, (ijk[..., 0] + di) & 255]
-                    ^ perm[1, (ijk[..., 1] + dj) & 255]
-                    ^ perm[2, (ijk[..., 2] + dk) & 255]
-                )
-                c = ranvec[idx]        # [R,3]
-                weight_v = jnp.stack(
-                    [uvw1[..., 0] - di, uvw1[..., 1] - dj, uvw1[..., 2] - dk], axis=-1
-                )
+                h = _hash3(ijk[..., 0] + di, ijk[..., 1] + dj,
+                           ijk[..., 2] + dk, salt)
                 coeff = (
                     (di * uu[..., 0] + (1 - di) * (1.0 - uu[..., 0]))
                     * (dj * uu[..., 1] + (1 - dj) * (1.0 - uu[..., 1]))
                     * (dk * uu[..., 2] + (1 - dk) * (1.0 - uu[..., 2]))
                 )
-                accum = accum + coeff * jnp.sum(c * weight_v, axis=-1)
+                gd = _grad_dot(h, uvw1[..., 0] - di, uvw1[..., 1] - dj,
+                               uvw1[..., 2] - dk)
+                accum = accum + coeff * gd
     return accum
 
 
-def _turbulence(p, ranvec, perm, depth=7):
+def _turbulence(p, salt, depth=7):
     """Sum of |octaves| (textures.cuh:252-265)."""
     accum = jnp.zeros(p.shape[:-1], p.dtype)
     temp_p = p
     weight = 1.0
     for _ in range(depth):
-        accum = accum + weight * _perlin_noise(temp_p, ranvec, perm)
+        accum = accum + weight * _perlin_noise(temp_p, salt)
         weight *= 0.5
         temp_p = temp_p * 2.0
     return jnp.abs(accum)
@@ -85,14 +117,19 @@ def _base_value(data: SceneData, meta: SceneMeta, kind_arr, tid, u, v, p):
         scale = data.tex_noise_scale[tid]
         s = scale[..., None] * p
         for nid in range(meta.n_noise):
-            ranvec = data.noise_ranvec[nid]
-            perm = data.noise_perm[nid]
             # marble: 0.5*(1 + sin(s.z + 10*turb(s))) (textures.cuh:198-202)
-            marble = 0.5 * (1.0 + jnp.sin(s[..., 2] + 10.0 * _turbulence(s, ranvec, perm)))
+            marble = 0.5 * (1.0 + jnp.sin(s[..., 2]
+                                          + 10.0 * _turbulence(s, noise_salt(nid))))
             sel = (kinds == TEX_NOISE) & (noise_ids == nid)
             out = jnp.where(sel[..., None], marble[..., None] * jnp.ones(3, p.dtype), out)
 
     return out
+
+
+def noise_salt(nid: int) -> int:
+    """Per-noise-texture hash salt (each texture is an independent field,
+    like the reference's per-texture permutation tables)."""
+    return ((int(nid) + 1) * 0x51ED270B) & 0xFFFFFFFF
 
 
 def texture_value(data: SceneData, meta: SceneMeta, tid, u, v, p):

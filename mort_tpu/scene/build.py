@@ -94,9 +94,6 @@ class SceneData:
     tex_image_id: Any    # [T] i32
     # Image data (static count/shapes; tuple of [H,W,3] f32 in [0,1]).
     images: Any
-    # Perlin tables (stacked over noise textures; textures.cuh:158-266).
-    noise_ranvec: Any    # [K,256,3]
-    noise_perm: Any      # [K,3,256] i32
     # Constant media.
     med_neg_inv_density: Any  # [Nm]
     # Acceleration structures (non-differentiable; culling only).
@@ -223,7 +220,7 @@ class World:
         self.tex_noise_scale: list[float] = []
         self.tex_image_id: list[int] = []
         self.images: list[np.ndarray] = []
-        self.noise_tables: list[tuple] = []  # (ranvec [256,3], perm [3,256])
+        self.n_noise_tex = 0
         self.light: Optional[ObjH] = None
 
     # -- textures (textures.cuh) ------------------------------------------
@@ -266,15 +263,15 @@ class World:
         return h
 
     def noise_texture(self, scale: float, rng: Optional[np.random.RandomState] = None) -> TexH:
-        """Perlin noise texture; tables built like textures.cuh:164-230."""
-        rng = rng or np.random.RandomState(0)
-        v = rng.uniform(-1.0, 1.0, size=(256, 3)).astype(np.float32)
-        ranvec = v / np.linalg.norm(v, axis=-1, keepdims=True)
-        perm = np.stack([rng.permutation(256) for _ in range(3)]).astype(np.int32)
+        """Perlin noise texture (textures.cuh:158-266 semantics).  Lattice
+        randomness is a computed hash (render/textures.py) instead of the
+        reference's gathered permutation tables — table gathers have no
+        fast path on TPU; ``rng`` is accepted for API compatibility and
+        unused."""
         h = self._new_tex(TEX_NOISE)
         self.tex_noise_scale[h.row] = scale
-        self.tex_image_id[h.row] = len(self.noise_tables)
-        self.noise_tables.append((ranvec, perm))
+        self.tex_image_id[h.row] = self.n_noise_tex
+        self.n_noise_tex += 1
         return h
 
     # -- materials (materials.cuh) ----------------------------------------
@@ -571,13 +568,6 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
     tex_noise_scale = np.array(w.tex_noise_scale or [0.0], np.float32)
     tex_image_id = np.array(w.tex_image_id or [0], np.int32)
 
-    if w.noise_tables:
-        noise_ranvec = np.stack([t[0] for t in w.noise_tables])
-        noise_perm = np.stack([t[1] for t in w.noise_tables])
-    else:
-        noise_ranvec = np.zeros((1, 256, 3), np.float32)
-        noise_perm = np.zeros((1, 3, 256), np.int32)
-
     media_meta = tuple(MediumMeta(srows, qrows, mrow)
                        for srows, qrows, mrow, _d in fl.media_meta)
     med_nid = np.array([-1.0 / m[3] for m in fl.media_meta] or [0.0], np.float32)
@@ -604,7 +594,6 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         tex_child_even=jnp.asarray(tex_child_even), tex_child_odd=jnp.asarray(tex_child_odd),
         tex_noise_scale=jnp.asarray(tex_noise_scale), tex_image_id=jnp.asarray(tex_image_id),
         images=tuple(jnp.asarray(im) for im in w.images),
-        noise_ranvec=jnp.asarray(noise_ranvec), noise_perm=jnp.asarray(noise_perm),
         med_neg_inv_density=jnp.asarray(med_nid),
         bvhs=bvhs,
     )
@@ -612,7 +601,7 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         n_spheres=ns, n_quads=nq, any_moving=any_moving,
         mat_kind=tuple(w.mat_kind) or (MAT_LAMBERTIAN,),
         tex_kind=tuple(w.tex_kind) or (TEX_SOLID,),
-        n_images=len(w.images), n_noise=len(w.noise_tables),
+        n_images=len(w.images), n_noise=w.n_noise_tex,
         media=media_meta, lights=tuple(lights),
         use_bvh=bvh_mode, n_bvh_leaf_spheres=n_bvh_leaf_spheres,
     )

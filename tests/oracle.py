@@ -103,8 +103,6 @@ class Oracle:
         self.tex_noise_scale = g(data.tex_noise_scale)
         self.tex_image_id = np.asarray(data.tex_image_id)
         self.images = [np.asarray(im, F) for im in data.images]
-        self.noise_ranvec = g(data.noise_ranvec)
-        self.noise_perm = np.asarray(data.noise_perm)
         self.med_nid = g(data.med_neg_inv_density)
         # per-quad frames (objects.cuh:170-185)
         n = np.cross(self.quad_u, self.quad_v)
@@ -138,9 +136,29 @@ class Oracle:
         self.use_defocus = cam.defocus_angle > 0
 
     # -- textures ---------------------------------------------------------
+    @staticmethod
+    def _hash3(i, j, k, salt):
+        """Mirror of render/textures._hash3 (uint32 wraparound)."""
+        M = 0xFFFFFFFF
+        h = (((i & M) * 0x8DA6B343) & M) ^ (((j & M) * 0xD8163841) & M) \
+            ^ (((k & M) * 0xCB1AB31F) & M)
+        h = (h + salt) & M
+        h ^= h >> 13
+        h = (h * 0x9E3779B1) & M
+        return h ^ (h >> 16)
+
+    @staticmethod
+    def _grad_dot(h, wx, wy, wz):
+        hh = h & 15
+        u = wx if hh < 8 else wy
+        v = wy if hh < 4 else (wx if hh in (12, 14) else wz)
+        u = -u if (h & 1) else u
+        v = -v if (h & 2) else v
+        return F(u + v)
+
     def _perlin_noise(self, p, nid):
-        ranvec = self.noise_ranvec[nid]
-        perm = self.noise_perm[nid]
+        from mort_tpu.render.textures import noise_salt
+        salt = noise_salt(nid)
         pf = np.floor(p)
         uvw = p - pf
         uvw1 = uvw * uvw * (3 - 2 * uvw)
@@ -150,15 +168,13 @@ class Oracle:
         for di in (0, 1):
             for dj in (0, 1):
                 for dk in (0, 1):
-                    idx = (perm[0][(i + di) & 255]
-                           ^ perm[1][(j + dj) & 255]
-                           ^ perm[2][(k + dk) & 255])
-                    c = ranvec[idx]
-                    wv = np.array([uvw1[0] - di, uvw1[1] - dj, uvw1[2] - dk], F)
+                    h = self._hash3(i + di, j + dj, k + dk, salt)
                     coeff = ((di * uu[0] + (1 - di) * (1 - uu[0]))
                              * (dj * uu[1] + (1 - dj) * (1 - uu[1]))
                              * (dk * uu[2] + (1 - dk) * (1 - uu[2])))
-                    accum += F(coeff) * F(np.dot(c, wv))
+                    gd = self._grad_dot(h, F(uvw1[0] - di), F(uvw1[1] - dj),
+                                        F(uvw1[2] - dk))
+                    accum += F(coeff) * gd
         return F(accum)
 
     def _turb(self, p, nid, depth=7):
