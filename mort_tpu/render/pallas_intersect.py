@@ -186,13 +186,16 @@ def _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz, tme, a, ro_rd, ro_sq,
 
     disc = half_b * half_b - a * c_term
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    inv_a = 1.0 / a
-    root1 = (-half_b - sq) * inv_a
-    root2 = (-half_b + sq) * inv_a
-    root = jnp.where(root1 > t_min, root1, root2)
-    valid = (disc >= 0.0) & (root > t_min) & (sph[:, 9:10] > 0.0)
-    cand = jnp.where(valid, root, BIG)
-    ct = jnp.min(cand, axis=0, keepdims=True)               # (1, TR)
+    # roots scaled by a (> 0, per-ray): the closest-root search is monotone
+    # under the scaling, so the per-pair division by a is hoisted out of the
+    # (CK, TR) tile — the winner is unscaled once per ray by the caller.
+    t_min_a = t_min * a
+    root1s = -half_b - sq
+    root2s = -half_b + sq
+    root_s = jnp.where(root1s > t_min_a, root1s, root2s)
+    valid = (disc >= 0.0) & (root_s > t_min_a) & (sph[:, 9:10] > 0.0)
+    cand = jnp.where(valid, root_s, BIG)
+    ct = jnp.min(cand, axis=0, keepdims=True)               # (1, TR) scaled
     ii = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     ci = jnp.min(jnp.where(cand == ct, ii, jnp.int32(1 << 30)), axis=0,
                  keepdims=True)
@@ -287,6 +290,9 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
                              jnp.maximum(z0, z1))
             return jnp.any((lo <= hi) & (hi > t_min) & (lo < bt))
 
+        # sphere candidates are compared in a-scaled t (see
+        # _sphere_chunk_best); unscaled only once after the loop.
+        inv_a = 1.0 / a
         best_t = jnp.full((1, TR), BIG, jnp.float32)
         best_i = jnp.zeros((1, TR), jnp.int32)
 
@@ -301,7 +307,8 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
                     better = ct < bt
                     return (jnp.where(better, ct, bt),
                             jnp.where(better, ci + s * CL, bi))
-                return jax.lax.cond(cluster_reachable(s, carry[0]), do,
+                bt_un = jnp.where(carry[0] >= BIG, BIG, carry[0] * inv_a)
+                return jax.lax.cond(cluster_reachable(s, bt_un), do,
                                     lambda c: c, carry)
 
             if n_sph_chunks:
@@ -320,6 +327,8 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
             if n_sph_chunks:
                 best_t, best_i = jax.lax.fori_loop(0, n_sph_chunks, sph_body,
                                                    (best_t, best_i))
+
+        best_t = jnp.where(best_t >= BIG, BIG, best_t * inv_a)
 
         qt = jnp.full((1, TR), BIG, jnp.float32)
         qi = jnp.zeros((1, TR), jnp.int32)

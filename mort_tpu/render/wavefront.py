@@ -137,7 +137,9 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         # wraps to the last row) and are dropped by the scatter.  Three
         # scalar scatters: TPU scatter of [P] scalars is ~5x faster than of
         # [P,3] rows (measured).
-        dep_idx = jnp.where(pend, pixel, WH)
+        # distinct out-of-range indices for non-depositing lanes: a single
+        # shared drop index makes XLA's scatter serialize the conflict chain
+        dep_idx = jnp.where(pend, pixel, WH + jnp.arange(P, dtype=jnp.int32))
         fb = (fb[0].at[dep_idx].add(Lsum.x * inv_spp, mode="drop"),
               fb[1].at[dep_idx].add(Lsum.y * inv_spp, mode="drop"),
               fb[2].at[dep_idx].add(Lsum.z * inv_spp, mode="drop"))

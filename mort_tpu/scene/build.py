@@ -537,6 +537,56 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         fl.resolve(w.light, *_IDENT, ident=True, out_leaves=leaves, surface=False)
         lights = [LightMeta(k, r) for k, r in leaves]
 
+    # --- Morton-order the primitive rows -----------------------------------
+    # The Pallas kernel culls work per contiguous 128-row sub-cluster behind
+    # an AABB pre-test (pallas_intersect.cluster_boxes); sorting rows along a
+    # 3D Morton curve makes those clusters spatially compact, so far more of
+    # them cull.  Row order is an internal layout choice (the reference's
+    # registry order only matters for closest-hit tie-breaks, which are
+    # measure-zero); all row references (materials ride along; lights, media
+    # boundaries, BVH leaves are remapped below).
+    def _morton_perm(points):
+        pts = np.asarray(points, np.float64)
+        lo = pts.min(axis=0)
+        ext = np.maximum(pts.max(axis=0) - lo, 1e-12)
+        q = np.clip(((pts - lo) / ext) * 1023.0, 0, 1023).astype(np.uint64)
+
+        def spread(x):
+            x = (x | (x << 16)) & np.uint64(0x030000FF)
+            x = (x | (x << 8)) & np.uint64(0x0300F00F)
+            x = (x | (x << 4)) & np.uint64(0x030C30C3)
+            x = (x | (x << 2)) & np.uint64(0x09249249)
+            return x
+
+        code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+                | (spread(q[:, 2]) << np.uint64(2)))
+        return np.argsort(code, kind="stable")
+
+    if len(fl.out_spheres) > 1:
+        perm = _morton_perm([r[0] for r in fl.out_spheres])
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        fl.out_spheres = [fl.out_spheres[i] for i in perm]
+        fl.sph_surface = [fl.sph_surface[i] for i in perm]
+        lights = [LightMeta(l.kind, int(inv[l.row])) if l.kind == OBJ_SPHERE
+                  else l for l in lights]
+        fl.media_meta = [(tuple(int(inv[r]) for r in srows), qrows, m, d)
+                         for srows, qrows, m, d in fl.media_meta]
+        fl.bvh_leaf_sets = [[(k, int(inv[r]) if k == OBJ_SPHERE else r)
+                             for k, r in leaves] for leaves in fl.bvh_leaf_sets]
+    if len(fl.out_quads) > 1:
+        perm = _morton_perm([r[0] + 0.5 * (r[1] + r[2]) for r in fl.out_quads])
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        fl.out_quads = [fl.out_quads[i] for i in perm]
+        fl.quad_surface = [fl.quad_surface[i] for i in perm]
+        lights = [LightMeta(l.kind, int(inv[l.row])) if l.kind == OBJ_QUAD
+                  else l for l in lights]
+        fl.media_meta = [(srows, tuple(int(inv[r]) for r in qrows), m, d)
+                         for srows, qrows, m, d in fl.media_meta]
+        fl.bvh_leaf_sets = [[(k, int(inv[r]) if k == OBJ_QUAD else r)
+                             for k, r in leaves] for leaves in fl.bvh_leaf_sets]
+
     ns, nq = len(fl.out_spheres), len(fl.out_quads)
     # Padding rows use benign values (masked out via sph_surface/quad_surface)
     # so reverse-mode AD never sees inf/NaN intermediates.
