@@ -14,9 +14,17 @@ shading row as [32, R] — so the consumer's per-column reads are contiguous
 [R] slices instead of strided lane gathers (profiled at 3.6 ms/bounce in
 the row-major formulation, the single largest cost in the render loop).
 
-Inputs are packed tables (pack_spheres/pack_quads):
-  sphere row: cx cy cz (ctc - r^2) cvx cvy cvz c.cv |cv|^2 surf pad pad
-  quad row:   nx ny nz D vxw(3) qa wxu(3) qb surf pad pad pad
+Every per-(prim, ray) quantity that is *linear* in the per-primitive
+constants is folded into the MXU: the kernel builds one per-tile ray-basis
+matrix B [K_LIN, TR] (rows: rd, t*rd, ro, t*ro, 1, t, t^2, |ro|^2, ro.rd)
+and the packed tables are coefficient rows A so that a single
+A @ B dot_general yields the sphere quadratic's half_b and c_term (moving
+spheres included — zero center-velocity coefficient rows make the static
+case exact) and all six quad plane/basis terms.  K <= 128 rides the MXU's
+systolic depth for free, so this costs the same MXU passes as the naive
+K=3 products while deleting almost all per-pair VPU arithmetic.  The
+skip/padding-row rejection is likewise folded into the tables (a +1e30
+constant term makes the discriminant/alpha test fail), not branched.
 
 Math parity with objects.cuh:61-88 (sphere) / 190-215 (quad); closest-hit
 tie rules match world.cuh:105-171 (earlier row wins within a kind; sphere
@@ -48,43 +56,102 @@ ROW_T = 27
 ROW_KIND = 28
 ROW_IDX = 29
 
+# Ray-basis matrix columns (the K dimension of the folded A @ B matmuls).
+K_LIN = 24        # 17 live rows + zero padding to a sublane multiple
+_B_RD = 0         # rows 0-2:   rd
+_B_TRD = 3        # rows 3-5:   t * rd
+_B_RO = 6         # rows 6-8:   ro
+_B_TRO = 9        # rows 9-11:  t * ro
+_B_ONE = 12       # row 12:     1
+_B_T = 13         # row 13:     t (ray time)
+_B_T2 = 14        # row 14:     t^2
+_B_ROSQ = 15      # row 15:     |ro|^2
+_B_RORD = 16      # row 16:     ro . rd
+
+REJECT = 1.0e30   # folded constant that forces the validity test to fail
+
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
 def pack_spheres(data, meta):
-    """[Cpad, 12] f32 sphere table (differentiable, in-trace)."""
+    """[2*Cpad, K_LIN] f32 sphere coefficient table (differentiable).
+
+    Rows [0, Cpad): half_b coefficients; rows [Cpad, 2*Cpad): c_term
+    coefficients, so that  half_b = A_h @ B  and  c_term = A_c @ B  give
+    exactly the quadratic of objects.cuh:61-88 with motion blur
+    (objects.cuh:90-97) folded in.  Skip rows (world.cuh `skip`, used as
+    media boundaries) and padding rows carry a +REJECT constant term that
+    drives the discriminant negative for every ray.
+    """
     if meta.n_spheres == 0:
-        return jnp.zeros((0, 12), jnp.float32)
+        return jnp.zeros((0, K_LIN), jnp.float32)
     n_rows = data.sph_center.shape[0]
     cpad = _round_up(max(n_rows, CK), CK)
     c = data.sph_center
     r = data.sph_radius
     cv = data.sph_cvec
-    ctc_r2 = jnp.sum(c * c, -1) - r * r
-    cols = [c[:, 0], c[:, 1], c[:, 2], ctc_r2,
-            cv[:, 0], cv[:, 1], cv[:, 2], jnp.sum(c * cv, -1),
-            jnp.sum(cv * cv, -1),
-            data.sph_surface.astype(jnp.float32),
-            jnp.zeros(n_rows), jnp.zeros(n_rows)]
-    tbl = jnp.stack(cols, axis=1)
-    return jnp.pad(tbl, ((0, cpad - n_rows), (0, 0)))
+    surf = data.sph_surface.astype(jnp.float32)
+    ctc_r2 = jnp.sum(c * c, -1) - r * r + (1.0 - surf) * REJECT
+    z = jnp.zeros(n_rows, jnp.float32)
+    one = jnp.ones(n_rows, jnp.float32)
+    # half_b = ro.rd - c.rd - t*(cv.rd)
+    a_h = jnp.stack([-c[:, 0], -c[:, 1], -c[:, 2],
+                     -cv[:, 0], -cv[:, 1], -cv[:, 2],
+                     z, z, z, z, z, z,
+                     z, z, z, z, one] +
+                    [z] * (K_LIN - 17), axis=1)
+    # c_term = |ro|^2 - 2 c.ro - 2t cv.ro + (c.c - r^2) + 2t (c.cv) + t^2 |cv|^2
+    a_c = jnp.stack([z, z, z, z, z, z,
+                     -2.0 * c[:, 0], -2.0 * c[:, 1], -2.0 * c[:, 2],
+                     -2.0 * cv[:, 0], -2.0 * cv[:, 1], -2.0 * cv[:, 2],
+                     ctc_r2, 2.0 * jnp.sum(c * cv, -1),
+                     jnp.sum(cv * cv, -1), one, z] +
+                    [z] * (K_LIN - 17), axis=1)
+    pad_h = jnp.zeros((cpad - n_rows, K_LIN), jnp.float32)
+    pad_c = pad_h.at[:, _B_ONE].set(REJECT)
+    return jnp.concatenate([a_h, pad_h, a_c, pad_c], axis=0)
 
 
 def pack_quads(data, meta, qf):
-    """[Qpad, 16] f32 quad table (empty scenes: zero chunks)."""
+    """[6*Qpad, K_LIN] f32 quad coefficient table.
+
+    Six Qpad-row blocks: denom = n.rd; num = D - n.ro; a1 = vxw.ro - qa;
+    a2 = vxw.rd; b1 = wxu.ro - qb; b2 = wxu.rd — so alpha = a1 + t*a2 and
+    beta = b1 + t*b2 reproduce objects.cuh:190-215.  Skip/padding rows get
+    a1 -= REJECT, failing the alpha window for every ray.
+    """
     if meta.n_quads == 0:
-        return jnp.zeros((0, 16), jnp.float32)
+        return jnp.zeros((0, K_LIN), jnp.float32)
     n_rows = data.quad_Q.shape[0]
     qpad = _round_up(max(n_rows, CK), CK)
-    z = jnp.zeros(n_rows)
-    cols = [qf.normal[:, 0], qf.normal[:, 1], qf.normal[:, 2], qf.D,
-            qf.vxw[:, 0], qf.vxw[:, 1], qf.vxw[:, 2], qf.qa,
-            qf.wxu[:, 0], qf.wxu[:, 1], qf.wxu[:, 2], qf.qb,
-            data.quad_surface.astype(jnp.float32), z, z, z]
-    tbl = jnp.stack(cols, axis=1)
-    return jnp.pad(tbl, ((0, qpad - n_rows), (0, 0)))
+    surf = data.quad_surface.astype(jnp.float32)
+    z = jnp.zeros(n_rows, jnp.float32)
+    zs = [z] * (K_LIN - 17)
+
+    def row(c03=None, c68=None, const=None):
+        cols = [z, z, z] if c03 is None else [c03[:, 0], c03[:, 1], c03[:, 2]]
+        cols += [z, z, z]
+        cols += [z, z, z] if c68 is None else [c68[:, 0], c68[:, 1], c68[:, 2]]
+        cols += [z, z, z]
+        cols += [z if const is None else const, z, z, z, z] + zs
+        return jnp.stack(cols, axis=1)
+
+    blocks = [
+        row(c03=qf.normal),                                   # denom
+        row(c68=-qf.normal, const=qf.D),                      # num
+        row(c68=qf.vxw, const=-qf.qa - (1.0 - surf) * REJECT),  # a1
+        row(c03=qf.vxw),                                      # a2
+        row(c68=qf.wxu, const=-qf.qb),                        # b1
+        row(c03=qf.wxu),                                      # b2
+    ]
+    pad = jnp.zeros((qpad - n_rows, K_LIN), jnp.float32)
+    pad_a1 = pad.at[:, _B_ONE].set(-REJECT)
+    pads = [pad, pad, pad_a1, pad, pad, pad]
+    return jnp.concatenate(
+        [jnp.concatenate([b, p], axis=0) for b, p in zip(blocks, pads)],
+        axis=0)
 
 
 def pack_joined_table(data, meta, table):
@@ -160,70 +227,31 @@ def cluster_boxes(data, meta, qf):
     return jax.lax.stop_gradient(jnp.concatenate(subs, axis=0))
 
 
-def _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz, tme, a, ro_rd, ro_sq,
-                       sph, t_min, moving):
-    """Closest sphere candidate within one (CK, TR) tile.
-
-    Per-ray values are (1, TR); per-prim columns of ``sph`` [CK, 12] are
-    (CK, 1); all coupling terms are (CK, 3) @ (3, TR) MXU matmuls."""
-    cxyz = sph[:, 0:3]                              # (CK, 3)
-    dn = (((1,), (0,)), ((), ()))
-    rd3 = jnp.concatenate([rdx, rdy, rdz], axis=0)  # (3, TR)
-    ro3 = jnp.concatenate([rox, roy, roz], axis=0)
-    rdc = jax.lax.dot_general(cxyz, rd3, dn, preferred_element_type=jnp.float32)
-    roc = jax.lax.dot_general(cxyz, ro3, dn, preferred_element_type=jnp.float32)
-    if moving:
-        cv = sph[:, 4:7]
-        rdv = jax.lax.dot_general(cv, rd3, dn, preferred_element_type=jnp.float32)
-        rov = jax.lax.dot_general(cv, ro3, dn, preferred_element_type=jnp.float32)
-        half_b = ro_rd - rdc - tme * rdv
-        c_term = (ro_sq - 2.0 * roc - 2.0 * tme * rov
-                  + sph[:, 3:4] + 2.0 * tme * sph[:, 7:8]
-                  + tme * tme * sph[:, 8:9])
-    else:
-        half_b = ro_rd - rdc
-        c_term = ro_sq - 2.0 * roc + sph[:, 3:4]
-
-    disc = half_b * half_b - a * c_term
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    # roots scaled by a (> 0, per-ray): the closest-root search is monotone
-    # under the scaling, so the per-pair division by a is hoisted out of the
-    # (CK, TR) tile — the winner is unscaled once per ray by the caller.
-    t_min_a = t_min * a
-    root1s = -half_b - sq
-    root2s = -half_b + sq
-    root_s = jnp.where(root1s > t_min_a, root1s, root2s)
-    valid = (disc >= 0.0) & (root_s > t_min_a) & (sph[:, 9:10] > 0.0)
-    cand = jnp.where(valid, root_s, BIG)
-    ct = jnp.min(cand, axis=0, keepdims=True)               # (1, TR) scaled
-    ii = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
-    ci = jnp.min(jnp.where(cand == ct, ii, jnp.int32(1 << 30)), axis=0,
-                 keepdims=True)
-    return ct, ci
+_DN = (((1,), (0,)), ((), ()))
 
 
-def _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz, qd, t_min):
-    nrm = qd[:, 0:3]
-    vxw = qd[:, 4:7]
-    wxu = qd[:, 8:11]
-    dn = (((1,), (0,)), ((), ()))
-    rd3 = jnp.concatenate([rdx, rdy, rdz], axis=0)
-    ro3 = jnp.concatenate([rox, roy, roz], axis=0)
-    denom = jax.lax.dot_general(nrm, rd3, dn, preferred_element_type=jnp.float32)
-    ron = jax.lax.dot_general(nrm, ro3, dn, preferred_element_type=jnp.float32)
-    ok = jnp.abs(denom) >= 1e-8
-    t = jnp.where(ok, (qd[:, 3:4] - ron) / jnp.where(ok, denom, 1.0), -1.0)
-    a1 = jax.lax.dot_general(vxw, ro3, dn, preferred_element_type=jnp.float32)
-    a2 = jax.lax.dot_general(vxw, rd3, dn, preferred_element_type=jnp.float32)
-    alpha = a1 + t * a2 - qd[:, 7:8]
-    b1 = jax.lax.dot_general(wxu, ro3, dn, preferred_element_type=jnp.float32)
-    b2 = jax.lax.dot_general(wxu, rd3, dn, preferred_element_type=jnp.float32)
-    beta = b1 + t * b2 - qd[:, 11:12]
-    valid = (ok & (t > t_min)
-             & (alpha >= 0.0) & (alpha <= 1.0)
-             & (beta >= 0.0) & (beta <= 1.0)
-             & (qd[:, 12:13] > 0.0))
-    cand = jnp.where(valid, t, BIG)
+def _ray_basis(rays):
+    """Build the (K_LIN, TR) ray-basis matrix B from the (8, TR) ray stack.
+
+    Per-tile cost is ~10 elementwise ops on (1, TR) rows — negligible; every
+    per-(prim, ray) linear term thereafter is a single A @ B matmul.
+    """
+    rox, roy, roz = rays[0:1], rays[1:2], rays[2:3]
+    rdx, rdy, rdz = rays[3:4], rays[4:5], rays[5:6]
+    tme = rays[6:7]
+    one = jnp.ones_like(tme)
+    ro_sq = rox * rox + roy * roy + roz * roz
+    ro_rd = rox * rdx + roy * rdy + roz * rdz
+    rows = [rdx, rdy, rdz, tme * rdx, tme * rdy, tme * rdz,
+            rox, roy, roz, tme * rox, tme * roy, tme * roz,
+            one, tme, tme * tme, ro_sq, ro_rd]
+    rows += [jnp.zeros_like(tme)] * (K_LIN - len(rows))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _argmin_rows(cand):
+    """(min, argmin) over the prim axis of a (CK', TR) candidate tile;
+    earlier row wins ties (world.cuh registry order)."""
     ct = jnp.min(cand, axis=0, keepdims=True)
     ii = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     ci = jnp.min(jnp.where(cand == ct, ii, jnp.int32(1 << 30)), axis=0,
@@ -231,7 +259,44 @@ def _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz, qd, t_min):
     return ct, ci
 
 
-def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
+def _sphere_chunk_best(a_h, a_c, B, a, t_min_a):
+    """Closest sphere candidate within one (CK', TR) tile.
+
+    ``a_h``/``a_c`` are half_b / c_term coefficient slices (CK', K_LIN);
+    the quadratic's linear algebra all rides the MXU.  Roots stay scaled by
+    a = |rd|^2 (> 0, per-ray): the closest-root search is monotone under the
+    scaling, so the per-pair division is hoisted out of the tile — the
+    winner is unscaled once per ray by the caller."""
+    half_b = jax.lax.dot_general(a_h, B, _DN, preferred_element_type=jnp.float32)
+    c_term = jax.lax.dot_general(a_c, B, _DN, preferred_element_type=jnp.float32)
+    disc = half_b * half_b - a * c_term
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    root1s = -half_b - sq
+    root_s = jnp.where(root1s > t_min_a, root1s, root1s + 2.0 * sq)
+    valid = (disc >= 0.0) & (root_s > t_min_a)
+    return _argmin_rows(jnp.where(valid, root_s, BIG))
+
+
+def _quad_chunk_best(q_den, q_num, q_a1, q_a2, q_b1, q_b2, B, t_min):
+    """Closest quad candidate within one (CK', TR) tile; the six coefficient
+    slices each produce their per-pair term with one MXU matmul."""
+    den = jax.lax.dot_general(q_den, B, _DN, preferred_element_type=jnp.float32)
+    num = jax.lax.dot_general(q_num, B, _DN, preferred_element_type=jnp.float32)
+    a1 = jax.lax.dot_general(q_a1, B, _DN, preferred_element_type=jnp.float32)
+    a2 = jax.lax.dot_general(q_a2, B, _DN, preferred_element_type=jnp.float32)
+    b1 = jax.lax.dot_general(q_b1, B, _DN, preferred_element_type=jnp.float32)
+    b2 = jax.lax.dot_general(q_b2, B, _DN, preferred_element_type=jnp.float32)
+    ok = jnp.abs(den) >= 1e-8
+    t = jnp.where(ok, num / jnp.where(ok, den, 1.0), -1.0)
+    alpha = a1 + t * a2
+    beta = b1 + t * b2
+    valid = (ok & (t > t_min)
+             & (alpha >= 0.0) & (alpha <= 1.0)
+             & (beta >= 0.0) & (beta <= 1.0))
+    return _argmin_rows(jnp.where(valid, t, BIG))
+
+
+def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
     """Kernel over (rays, [sph], [quad], tbl, [cbox]) — the sphere/quad
     tables are passed only when their chunk count is nonzero (scene 1 has no
     quads; the Cornell walls scene has no surface spheres), so empty kinds
@@ -259,10 +324,11 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
         rays = rays_ref[:]                      # (8, TR)
         rox, roy, roz = rays[0:1], rays[1:2], rays[2:3]
         rdx, rdy, rdz = rays[3:4], rays[4:5], rays[5:6]
-        tme = rays[6:7]
         a = rdx * rdx + rdy * rdy + rdz * rdz
-        ro_rd = rox * rdx + roy * rdy + roz * rdz
-        ro_sq = rox * rox + roy * roy + roz * roz
+        B = _ray_basis(rays)
+        t_min_a = t_min * a
+        sph_half = n_sph_chunks * CK            # c_term block offset
+        quad_n = n_quad_chunks * CK             # quad coefficient block stride
 
         if cull:
             tiny = 1e-30
@@ -300,10 +366,9 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
             def sph_body(s, carry):
                 def do(carry):
                     bt, bi = carry
-                    sph = sph_ref[pl.ds(s * CL, CL), :]
-                    ct, ci = _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz,
-                                                tme, a, ro_rd, ro_sq, sph,
-                                                t_min, moving)
+                    a_h = sph_ref[pl.ds(s * CL, CL), :]
+                    a_c = sph_ref[pl.ds(sph_half + s * CL, CL), :]
+                    ct, ci = _sphere_chunk_best(a_h, a_c, B, a, t_min_a)
                     better = ct < bt
                     return (jnp.where(better, ct, bt),
                             jnp.where(better, ci + s * CL, bi))
@@ -317,9 +382,9 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
         else:
             def sph_body(k, carry):
                 bt, bi = carry
-                sph = sph_ref[pl.ds(k * CK, CK), :]
-                ct, ci = _sphere_chunk_best(rox, roy, roz, rdx, rdy, rdz, tme,
-                                            a, ro_rd, ro_sq, sph, t_min, moving)
+                a_h = sph_ref[pl.ds(k * CK, CK), :]
+                a_c = sph_ref[pl.ds(sph_half + k * CK, CK), :]
+                ct, ci = _sphere_chunk_best(a_h, a_c, B, a, t_min_a)
                 better = ct < bt
                 return (jnp.where(better, ct, bt),
                         jnp.where(better, ci + k * CK, bi))
@@ -333,13 +398,16 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
         qt = jnp.full((1, TR), BIG, jnp.float32)
         qi = jnp.zeros((1, TR), jnp.int32)
 
+        def quad_slices(start, size):
+            return (quad_ref[pl.ds(p * quad_n + start, size), :]
+                    for p in range(6))
+
         if cull:
             def quad_body(s, carry):
                 def do(carry):
                     bt, bi = carry
-                    qd = quad_ref[pl.ds(s * CL, CL), :]
-                    ct, ci = _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz,
-                                              qd, t_min)
+                    ct, ci = _quad_chunk_best(*quad_slices(s * CL, CL),
+                                              B, t_min)
                     better = ct < bt
                     return (jnp.where(better, ct, bt),
                             jnp.where(better, ci + s * CL, bi))
@@ -355,8 +423,7 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
         else:
             def quad_body(k, carry):
                 bt, bi = carry
-                qd = quad_ref[pl.ds(k * CK, CK), :]
-                ct, ci = _quad_chunk_best(rox, roy, roz, rdx, rdy, rdz, qd, t_min)
+                ct, ci = _quad_chunk_best(*quad_slices(k * CK, CK), B, t_min)
                 better = ct < bt
                 return (jnp.where(better, ct, bt),
                         jnp.where(better, ci + k * CK, bi))
@@ -410,15 +477,15 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_sph_chunks", "n_quad_chunks",
-                                    "moving", "t_min", "cull", "interpret"))
+                                    "t_min", "cull", "interpret"))
 def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
-                 n_quad_chunks, moving, t_min, cull, interpret=False):
+                 n_quad_chunks, t_min, cull, interpret=False):
     R = rays.shape[1]
     grid = R // TR
     out_shape = [
         jax.ShapeDtypeStruct((ROW_K, R), jnp.float32),
     ]
-    kernel = _make_kernel(n_sph_chunks, n_quad_chunks, moving, t_min, cull)
+    kernel = _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull)
     operands = [rays]
     in_specs = [pl.BlockSpec((8, TR), lambda i: (0, i), memory_space=pltpu.VMEM)]
     if n_sph_chunks:
@@ -478,9 +545,8 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
     cbox = cluster_boxes(data, meta, qf) if cull else None
     t, kind, idx, row = _closest_hit(
         rays, sph_tbl, quad_tbl, joined, cbox,
-        n_sph_chunks=sph_tbl.shape[0] // CK,
-        n_quad_chunks=quad_tbl.shape[0] // CK,
-        moving=bool(meta.any_moving), t_min=float(t_min),
-        cull=bool(cull), interpret=interpret)
+        n_sph_chunks=sph_tbl.shape[0] // (2 * CK),
+        n_quad_chunks=quad_tbl.shape[0] // (6 * CK),
+        t_min=float(t_min), cull=bool(cull), interpret=interpret)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]
