@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="reduced geometry/spp for a fast smoke run")
-    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--scene", type=int, default=1)
     args = ap.parse_args()
 
@@ -59,7 +59,7 @@ def main():
         t0 = time.perf_counter()
         render_fn(data, meta, cam, seed=69420 + i).block_until_ready()
         times.append(time.perf_counter() - t0)
-    wall = min(times)
+    wall = sorted(times)[len(times) // 2]   # median
 
     n_paths = cam.image_width * cam.image_height * cam.sqrt_spp ** 2
     paths_per_s = n_paths / wall

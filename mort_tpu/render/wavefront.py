@@ -30,6 +30,24 @@ so partial progress covers whole images first.
 
 This is also the O(1)-in-depth replacement for the reference's
 bounce_limit*W*H recursion scratch (mort.cu:712-725).
+
+Multi-chip
+----------
+``render_wavefront(..., mesh=...)`` shards the task space over a 1-D
+``jax.sharding.Mesh`` with ``shard_map``: pixels are dealt round-robin to
+the shards (global pixel = local * n_shards + shard_id — interleaving
+balances the per-region cost variation across the image), the scene and
+camera are replicated (the analogue of the reference's __constant__
+upload), and the framebuffer is row-sharded; the forward pass needs ZERO
+collectives, exactly like the reference's pixel grid (mort.cu:98-106) but
+across chips.
+
+Sharded (and progressive) renders are **bit-identical for any mesh size**:
+device executions are aligned to sample-chunk *layers* (layer c = tasks
+covering samples [c*spt, (c+1)*spt) of every pixel), so each pixel receives
+exactly one framebuffer add per layer, its accumulation order is
+layer-ascending regardless of pool size or in-flight scheduling, and the
+per-sample radiance itself is pinned by the counter RNG.
 """
 
 from __future__ import annotations
@@ -38,6 +56,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera import Camera, derive_basis, get_rays_soa
 from ..rng import DEFAULT_SEED
@@ -50,21 +69,22 @@ from . import vec as v3
 from .vec import V3
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("meta", "pool", "chunk", "window",
-                                    "use_pallas", "spt"),
-                   donate_argnums=(3,))
-def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
-                    task_end, *, meta: SceneMeta, pool: int, chunk: int,
-                    window: int, use_pallas: bool, spt: int):
-    """Run the wavefront over chunk-tasks [task_start, task_end); accumulate
-    into fb (donated).  Splitting a render across calls keeps single device
-    executions short (the tunneled TPU kills very long launches) and gives
-    checkpointable progress.
+def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
+               task_end, shard_id, *, meta: SceneMeta, pool: int, chunk: int,
+               window: int, use_pallas: bool, spt: int, per: int,
+               n_shards: int):
+    """Run the wavefront over local chunk-tasks [task_start, task_end);
+    accumulate into fb (donated).  Splitting a render across calls keeps
+    single device executions short (the tunneled TPU kills very long
+    launches) and gives checkpointable progress.
 
     ``spt``: stratified samples per task (lane-local accumulation length).
     ``window``: bounce steps between deposit/refill rounds.
     ``use_pallas``: fused closest-hit + one-hot row kernel (TPU backend).
+    ``per``/``n_shards``/``shard_id``: local pixel count and round-robin
+    shard placement — local pixel p maps to global pixel p*n_shards+shard_id
+    (identity when n_shards == 1).  RNG and camera rays always use the
+    global pixel id, so renders are sharding-invariant.
     """
     W, H = cam.image_width, cam.image_height
     WH = W * H
@@ -76,26 +96,32 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
     table, mat_cols = build_prim_table(data, meta, qf)
     P = pool
 
+    def to_global(local_pixel):
+        if n_shards == 1:
+            return local_pixel
+        return local_pixel * n_shards + shard_id
+
     bg = cam.background
 
     def bounce_step(carry):
         (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum, beta,
          useful) = carry
+        gpix = to_global(pixel)
         useful = useful + jnp.sum(alive.astype(jnp.uint32))
         if use_pallas:
             bt, bk, bi, row_t = pal.closest_hit_pallas(
                 data, meta, qf, table, ro, rd, tme)
             if meta.media:
                 bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
-                                        pixel, sample, bounce, T_MIN,
+                                        gpix, sample, bounce, T_MIN,
                                         bt, bk, bi)
         else:
             bt, bk, bi = intersect_best(data, meta, qf, ro.to_rows(),
                                         rd.to_rows(), tme, seed,
-                                        pixel, sample, bounce, chunk=chunk)
+                                        gpix, sample, bounce, chunk=chunk)
             row_t = None
         out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
-                                 tme, bt, bk, bi, seed, pixel, sample,
+                                 tme, bt, bk, bi, seed, gpix, sample,
                                  bounce, row_t=row_t)
 
         miss = alive & ~out.hit
@@ -117,7 +143,7 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         Lsum = Lsum + v3.where(path_done, L, 0.0)
         more = path_done & (sample + 1 < send)
         sample = jnp.where(more, sample + 1, sample)
-        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, pixel, sample)
+        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, gpix, sample)
         ro = v3.where(more, ro_n, ro)
         rd = v3.where(more, rd_n, rd)
         tme = jnp.where(more, t_n, tme)
@@ -139,7 +165,7 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         # [P,3] rows (measured).
         # distinct out-of-range indices for non-depositing lanes: a single
         # shared drop index makes XLA's scatter serialize the conflict chain
-        dep_idx = jnp.where(pend, pixel, WH + jnp.arange(P, dtype=jnp.int32))
+        dep_idx = jnp.where(pend, pixel, per + jnp.arange(P, dtype=jnp.int32))
         fb = (fb[0].at[dep_idx].add(Lsum.x * inv_spp, mode="drop"),
               fb[1].at[dep_idx].add(Lsum.y * inv_spp, mode="drop"),
               fb[2].at[dep_idx].add(Lsum.z * inv_spp, mode="drop"))
@@ -149,14 +175,19 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
         idle = ~alive
         ranks = jnp.cumsum(idle.astype(jnp.uint32)) - 1
         task = counter + jnp.where(idle, ranks, 0)
+        new_pixel = (task % per).astype(jnp.int32)
         has = idle & (task < total)
-        new_pixel = (task % WH).astype(jnp.int32)
-        chunk_id = (task // WH).astype(jnp.int32)
+        if n_shards > 1:
+            # round-robin padding pixels (global id >= W*H) are consumed
+            # but never activated
+            has = has & (to_global(new_pixel) < WH)
+        chunk_id = (task // per).astype(jnp.int32)
         s0 = chunk_id * spt
         pixel = jnp.where(has, new_pixel, pixel)
         sample = jnp.where(has, s0, sample)
         send = jnp.where(has, jnp.minimum(s0 + spt, spp), send)
-        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, pixel, sample)
+        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, to_global(pixel),
+                                       sample)
         ro = v3.where(has, ro_n, ro)
         rd = v3.where(has, rd_n, rd)
         tme = jnp.where(has, t_n, tme)
@@ -208,6 +239,47 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
     return jnp.stack(state[1], axis=-1), state[-2], state[-1]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "pool", "chunk", "window",
+                                    "use_pallas", "spt", "per"),
+                   donate_argnums=(3,))
+def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
+                    task_end, *, meta: SceneMeta, pool: int, chunk: int,
+                    window: int, use_pallas: bool, spt: int, per: int):
+    """Single-device span (n_shards == 1)."""
+    return _span_core(data, cam, seed, fb, task_start, task_end,
+                      jnp.int32(0), meta=meta, pool=pool, chunk=chunk,
+                      window=window, use_pallas=use_pallas, spt=spt,
+                      per=per, n_shards=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per):
+    """jitted shard_map'ed span over a 1-D 'rays' mesh.
+
+    Scene/camera replicated; fb row-sharded; zero collectives (the forward
+    pass is embarrassingly parallel, like the reference's pixel grid).
+    Per-shard iteration/occupancy stats come back as [n_shards] arrays for
+    load-balance diagnostics.
+    """
+    from jax.sharding import PartitionSpec as P
+    n = mesh.devices.size
+
+    def per_device(data, cam, seed, fb, t0, t1):
+        sid = jax.lax.axis_index("rays").astype(jnp.int32)
+        fb, iters, useful = _span_core(
+            data, cam, seed, fb, t0, t1, sid, meta=meta, pool=pool,
+            chunk=chunk, window=window, use_pallas=use_pallas, spt=spt,
+            per=per, n_shards=n)
+        return fb, iters[None], useful[None]
+
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(P(), P(), P(), P("rays"), P(), P()),
+                       out_specs=(P("rays"), P("rays"), P("rays")),
+                       check_vma=False)
+    return jax.jit(fn, donate_argnums=(3,))
+
+
 def default_pool(meta: SceneMeta, n_pixels: int) -> int:
     n_prims = max(1, meta.n_spheres + meta.n_quads)
     pool = 1 << 18 if n_prims <= 1024 else 1 << 17
@@ -217,43 +289,104 @@ def default_pool(meta: SceneMeta, n_pixels: int) -> int:
 def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
                      seed=DEFAULT_SEED, pool=None, chunk=512,
                      max_paths_per_call=200_000_000, fb=None, task_range=None,
-                     scrub_nan=True, window=None, use_pallas=None, spt=None):
+                     scrub_nan=True, window=None, use_pallas=None, spt=None,
+                     mesh=None, layer_range=None):
     """Wavefront render; returns linear [H,W,3] (row 0 = bottom).
 
     The task space — W*H pixels x ceil(spp/spt) sample-chunks — is split
     into spans of at most ``max_paths_per_call`` camera paths per device
     execution.  ``fb`` / ``task_range`` (in chunk-task units) allow external
     accumulation (progressive / checkpoint).
+
+    ``mesh``: optional 1-D device mesh (parallel.sharding.make_mesh); pixels
+    are round-robin sharded over it and the render is bit-identical for any
+    mesh size (module docstring).  ``layer_range`` (in sample-chunk layers)
+    replaces ``task_range`` for sharded/progressive accumulation; spans are
+    then layer-aligned so each pixel deposits exactly once per layer.
     """
     W, H = cam.image_width, cam.image_height
     WH = W * H
     spp = cam.sqrt_spp ** 2
-    if pool is None:
-        pool = default_pool(meta, WH)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if spt is None:
         spt = min(spp, 16)
     if window is None:
         window = 8 if use_pallas else 3
+    n_chunks = -(-spp // spt)
+    stats = {"iterations": 0, "useful_segments": 0, "slots_executed": 0}
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert task_range is None, "use layer_range with a mesh"
+        n = int(mesh.devices.size)
+        per = -(-WH // n)
+        if pool is None:
+            pool = default_pool(meta, per)
+        l0, l1 = layer_range if layer_range is not None else (0, n_chunks)
+        if fb is None:
+            fb = jnp.zeros((n * per, 3), jnp.float32)
+        fb = jax.device_put(fb, NamedSharding(mesh, P("rays")))
+        repl = NamedSharding(mesh, P())
+        data = jax.device_put(data, repl)
+        cam_d = jax.device_put(cam, repl)
+        span = _sharded_span(mesh, meta, int(pool), int(chunk), int(window),
+                             bool(use_pallas), int(spt), int(per))
+        tasks_per_call = max(pool, max_paths_per_call // spt)
+        shard_useful = None
+        for c in range(l0, l1):
+            for s0 in range(c * per, (c + 1) * per, tasks_per_call):
+                s1 = min(s0 + tasks_per_call, (c + 1) * per)
+                fb, iters, useful = span(data, cam_d, jnp.uint32(seed), fb,
+                                         jnp.uint32(s0), jnp.uint32(s1))
+                iters, useful = np.asarray(iters), np.asarray(useful)
+                stats["iterations"] += int(iters.max())
+                stats["useful_segments"] += int(useful.sum())
+                stats["slots_executed"] += (int(iters.sum()) * int(window)
+                                            * int(pool))
+                shard_useful = (useful if shard_useful is None
+                                else shard_useful + useful)
+        stats["per_shard_useful"] = ([] if shard_useful is None
+                                     else shard_useful.tolist())
+        render_wavefront.last_stats = stats
+        render_wavefront.last_fb = fb       # sharded accumulator (resume)
+        out = np.asarray(fb)
+        g = np.arange(WH)
+        out = out[(g % n) * per + g // n]   # undo round-robin interleave
+        if scrub_nan:
+            out = np.where(np.isnan(out), 0.0, out)
+        return jnp.asarray(out.reshape(H, W, 3))
+
+    if pool is None:
+        pool = default_pool(meta, WH)
     if fb is None:
         fb = jnp.zeros((WH, 3), jnp.float32)
-    n_chunks = -(-spp // spt)
-    n_tasks = WH * n_chunks
-    start, end = task_range if task_range is not None else (0, n_tasks)
     tasks_per_call = max(pool, max_paths_per_call // spt)
-    stats = {"iterations": 0, "useful_segments": 0, "slots_executed": 0}
-    for s0 in range(start, end, tasks_per_call):
-        s1 = min(s0 + tasks_per_call, end)
+
+    if layer_range is not None:
+        assert task_range is None, "layer_range and task_range are exclusive"
+        spans = []
+        for c in range(*layer_range):
+            for s0 in range(c * WH, (c + 1) * WH, tasks_per_call):
+                spans.append((s0, min(s0 + tasks_per_call, (c + 1) * WH)))
+    else:
+        start, end = task_range if task_range is not None else \
+            (0, WH * n_chunks)
+        spans = [(s0, min(s0 + tasks_per_call, end))
+                 for s0 in range(start, end, tasks_per_call)]
+
+    for s0, s1 in spans:
         fb, iters, useful = _wavefront_span(
             data, cam, jnp.uint32(seed), fb,
             jnp.uint32(s0), jnp.uint32(s1),
             meta=meta, pool=int(pool), chunk=int(chunk),
-            window=int(window), use_pallas=bool(use_pallas), spt=int(spt))
+            window=int(window), use_pallas=bool(use_pallas), spt=int(spt),
+            per=WH)
         stats["iterations"] += int(iters)
         stats["useful_segments"] += int(useful)
         stats["slots_executed"] += int(iters) * int(window) * int(pool)
     render_wavefront.last_stats = stats
+    render_wavefront.last_fb = fb
     if scrub_nan:
         fb = jnp.where(jnp.isnan(fb), 0.0, fb)
     return fb.reshape(H, W, 3)

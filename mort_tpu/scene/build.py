@@ -40,7 +40,6 @@ from .types import (
     OBJ_ROTATE_Y, OBJ_SPHERE, OBJ_TRANSLATE, TEX_CHECKER, TEX_IMAGE,
     TEX_NOISE, TEX_SOLID, MatH, ObjH, TexH,
 )
-from . import bvh as bvh_mod
 
 
 # ---------------------------------------------------------------------------
@@ -96,8 +95,13 @@ class SceneData:
     images: Any
     # Constant media.
     med_neg_inv_density: Any  # [Nm]
-    # Acceleration structures (non-differentiable; culling only).
-    bvhs: Any            # tuple of BVHArrays
+    # NOTE deliberately NO BVH arrays here: the device acceleration structure
+    # is per-128-row AABB cluster culling over Morton-ordered primitive rows
+    # (render/pallas_intersect.py cluster_boxes), which is branch-free and
+    # MXU-friendly where a per-ray traversal stack (objects.cuh:664-723) is
+    # not.  The host BVH build (scene/bvh.py, native/bvh_builder.cpp) keeps
+    # topology parity with the reference (objects.cuh:529-611) and feeds
+    # reachability metadata only; see DEVIATIONS.md.
 
 
 @dataclass(frozen=True)
@@ -622,9 +626,8 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
                        for srows, qrows, mrow, _d in fl.media_meta)
     med_nid = np.array([-1.0 / m[3] for m in fl.media_meta] or [0.0], np.float32)
 
-    # BVH build over each active bvh's leaf set (scene/bvh.py).
-    bvhs = tuple(bvh_mod.build_bvh(leaves, centers, radii, cvecs, quad_Q, quad_u, quad_v)
-                 for leaves in fl.bvh_leaf_sets)
+    # BVH reachability metadata (the build itself stays host-side; the device
+    # accel is cluster culling — see the SceneData docstring note).
     if bvh_mode:
         covered = set()
         for leaves in fl.bvh_leaf_sets:
@@ -645,7 +648,6 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         tex_noise_scale=jnp.asarray(tex_noise_scale), tex_image_id=jnp.asarray(tex_image_id),
         images=tuple(jnp.asarray(im) for im in w.images),
         med_neg_inv_density=jnp.asarray(med_nid),
-        bvhs=bvhs,
     )
     meta = SceneMeta(
         n_spheres=ns, n_quads=nq, any_moving=any_moving,

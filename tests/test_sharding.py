@@ -11,6 +11,7 @@ from conftest import assert_images_close
 
 from mort_tpu.parallel.sharding import make_mesh, make_train_step, render_sharded
 from mort_tpu.render.renderer import render
+from mort_tpu.render.wavefront import render_wavefront
 
 
 def test_eight_devices_available():
@@ -26,6 +27,33 @@ def test_sharded_render_matches_single(three_sphere_scene):
         # Identical samples per pixel; only reduction order may differ.
         assert_images_close(sharded, single, frac_ok=1.0, atol=1e-5,
                             mean_tol=1e-6, msg=f"mesh{n}")
+
+
+def test_wavefront_sharded_bit_identical(three_sphere_scene):
+    """The fast path takes a mesh: renders are BIT-identical on 1/2/8
+    devices (layer-aligned deposits + counter RNG, wavefront.py docstring),
+    and match the lockstep integrator."""
+    data, meta, cam = three_sphere_scene
+    single = np.asarray(render(data, meta, cam))
+    imgs = {}
+    for n in (1, 2, 8):
+        imgs[n] = np.asarray(render_wavefront(data, meta, cam, spt=2,
+                                              mesh=make_mesh(n)))
+    assert np.array_equal(imgs[2], imgs[1])
+    assert np.array_equal(imgs[8], imgs[1])
+    assert_images_close(imgs[8], single, frac_ok=0.98, atol=2e-2,
+                        mean_tol=4e-3, msg="wavefront mesh8 vs lockstep")
+
+
+def test_wavefront_sharded_balance(three_sphere_scene):
+    """Round-robin pixel interleaving balances per-shard work: the useful
+    path-segment counts of the 8 shards must be within 20% of each other."""
+    data, meta, cam = three_sphere_scene
+    render_wavefront(data, meta, cam, spt=2, mesh=make_mesh(8))
+    useful = np.asarray(render_wavefront.last_stats["per_shard_useful"])
+    assert useful.shape == (8,)
+    assert useful.min() > 0
+    assert useful.max() <= 1.2 * useful.min(), useful
 
 
 def test_sharded_grads(three_sphere_scene):
