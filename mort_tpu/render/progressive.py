@@ -92,6 +92,68 @@ def render_progressive(data: SceneData, meta: SceneMeta, cam: Camera,
     return state
 
 
+def render_progressive_wavefront(data: SceneData, meta: SceneMeta,
+                                 cam: Camera, seed=DEFAULT_SEED, spt=None,
+                                 layers_per_step=1,
+                                 state: RenderState | None = None,
+                                 checkpoint_path: str | None = None,
+                                 checkpoint_every=1, mesh=None, on_step=None,
+                                 **wf_kwargs):
+    """Progressive accumulation on the wavefront fast path.
+
+    The sample space is split into *layers* of ``spt`` stratified samples per
+    pixel (wavefront.py docstring); each step renders ``layers_per_step`` of
+    them via the wavefront's layer-aligned spans.  Because each pixel
+    receives exactly one framebuffer add per layer, a resumed render is
+    BIT-identical to an uninterrupted one — independently of where the
+    interruption fell, of the lane-pool scheduling, and even of the mesh
+    size: the checkpointed accumulator is kept in canonical pixel order, so
+    a render started on N chips can resume on M (elastic restart).
+
+    ``state.samples_done`` advances in whole layers (``spt`` samples each);
+    resume must use the same ``seed`` and ``spt``.
+    """
+    from .wavefront import render_wavefront
+
+    W, H = cam.image_width, cam.image_height
+    spp = cam.sqrt_spp ** 2
+    if spt is None:
+        spt = min(spp, 16)
+    n_layers = -(-spp // spt)
+    if state is None:
+        state = RenderState(fb=np.zeros((H, W, 3), np.float32),
+                            samples_done=0, seed=seed, spp_total=spp)
+    state.spp_total = spp
+    assert state.seed == seed, "resume must use the original seed"
+    if state.samples_done >= spp:
+        layers_done = n_layers
+    else:
+        assert state.samples_done % spt == 0, \
+            "resume must use the original spt (layer size)"
+        layers_done = state.samples_done // spt
+
+    step_idx = 0
+    while layers_done < n_layers:
+        l1 = min(layers_done + layers_per_step, n_layers)
+        img = render_wavefront(data, meta, cam, seed=seed, spt=spt,
+                               mesh=mesh, fb=state.fb.reshape(W * H, 3),
+                               layer_range=(layers_done, l1),
+                               scrub_nan=False, **wf_kwargs)
+        state.fb = np.asarray(img).reshape(H, W, 3)
+        layers_done = l1
+        state.samples_done = min(layers_done * spt, spp)
+        step_idx += 1
+        if checkpoint_path and step_idx % checkpoint_every == 0:
+            save_state(checkpoint_path, state)
+        if on_step is not None:
+            on_step(state)
+
+    state.fb = np.where(np.isnan(state.fb), 0.0, state.fb)
+    if checkpoint_path:
+        save_state(checkpoint_path, state)
+    return state
+
+
 def save_state(path: str, state: RenderState) -> None:
     """Atomic npz checkpoint write."""
     d = os.path.dirname(os.path.abspath(path)) or "."

@@ -324,8 +324,17 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         if pool is None:
             pool = default_pool(meta, per)
         l0, l1 = layer_range if layer_range is not None else (0, n_chunks)
+        g = np.arange(WH)
+        rows = (g % n) * per + g // n    # canonical pixel -> interleaved row
         if fb is None:
             fb = jnp.zeros((n * per, 3), jnp.float32)
+        else:
+            # fb is in CANONICAL [W*H, 3] global pixel order (so a partial
+            # accumulation checkpointed on one mesh size can resume on any
+            # other); interleave it into the round-robin shard layout.
+            inter = np.zeros((n * per, 3), np.float32)
+            inter[rows] = np.asarray(fb).reshape(WH, 3)
+            fb = jnp.asarray(inter)
         fb = jax.device_put(fb, NamedSharding(mesh, P("rays")))
         repl = NamedSharding(mesh, P())
         data = jax.device_put(data, repl)
@@ -349,10 +358,8 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         stats["per_shard_useful"] = ([] if shard_useful is None
                                      else shard_useful.tolist())
         render_wavefront.last_stats = stats
-        render_wavefront.last_fb = fb       # sharded accumulator (resume)
-        out = np.asarray(fb)
-        g = np.arange(WH)
-        out = out[(g % n) * per + g // n]   # undo round-robin interleave
+        out = np.asarray(fb)[rows]          # undo round-robin interleave
+        render_wavefront.last_fb = out      # canonical accumulator (resume)
         if scrub_nan:
             out = np.where(np.isnan(out), 0.0, out)
         return jnp.asarray(out.reshape(H, W, 3))
