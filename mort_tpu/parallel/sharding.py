@@ -96,18 +96,23 @@ def render_sharded(data: SceneData, meta: SceneMeta, cam: Camera, mesh: Mesh,
 # Differentiable sharded training step (scene-parameter optimisation)
 # ---------------------------------------------------------------------------
 
-def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512):
+def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512, use_pallas=None):
     """Build a jitted step: (data, cam, target_flat, pixel_ids, seed) ->
     (loss, grads) where grads is d(loss)/d(SceneData) — float leaves only —
     all-reduced over the mesh by XLA (psum inserted for the replicated
-    scene operand)."""
+    scene operand).  On TPU the closest-hit runs through the Pallas kernel
+    in both passes (its custom VJP keeps the backward off the
+    bandwidth-bound XLA intersector)."""
     shard = NamedSharding(mesh, P("rays"))
     repl = NamedSharding(mesh, P())
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def loss_fn(diff_data, data, cam, target, pixel_ids, seed):
         d = _merge_diff(data, diff_data)
         img = radiance_for_pixels(d, meta, cam, seed, pixel_ids,
-                                  chunk=chunk, differentiable=True)
+                                  chunk=chunk, differentiable=True,
+                                  use_pallas=use_pallas)
         return jnp.mean((img - target) ** 2)
 
     @functools.partial(jax.jit, donate_argnums=())

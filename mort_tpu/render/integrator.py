@@ -33,12 +33,15 @@ from .vec import V3
 
 def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
           basis: CameraBasis, seed, pixel_ids, sample_ids, chunk=512,
-          differentiable=False):
+          differentiable=False, use_pallas=False, pallas_interpret=False):
     """Trace one camera sample for a batch of pixels; returns radiance [R,3].
 
     ``differentiable=True`` uses a static-trip-count fori_loop (reverse-mode
     differentiable); the default uses a while_loop that exits as soon as all
-    rays in the batch have terminated.
+    rays in the batch have terminated.  ``use_pallas`` routes closest-hit
+    through the fused kernel — including under reverse-mode AD (its custom
+    VJP recomputes the winner analytically, pallas_intersect.py);
+    ``pallas_interpret`` runs the kernel in interpret mode (CPU tests).
     """
     ro, rd, time = get_rays_soa(cam, basis, seed, pixel_ids, sample_ids)
     R = pixel_ids.shape[0]
@@ -47,12 +50,24 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
 
     def body(state):
         bounce, L, beta, alive, ro, rd = state
-        bt, bk, bi = intersect_best(data, meta, qf, ro.to_rows(), rd.to_rows(),
-                                    time, seed, pixel_ids, sample_ids, bounce,
-                                    chunk=chunk)
+        if use_pallas:
+            from .intersect import T_MIN, media_pass
+            from . import pallas_intersect as pal
+            bt, bk, bi, row_t = pal.closest_hit_pallas(
+                data, meta, qf, table, ro, rd, time,
+                interpret=pallas_interpret)
+            if meta.media:
+                bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
+                                        pixel_ids, sample_ids, bounce, T_MIN,
+                                        bt, bk, bi)
+        else:
+            bt, bk, bi = intersect_best(data, meta, qf, ro.to_rows(),
+                                        rd.to_rows(), time, seed, pixel_ids,
+                                        sample_ids, bounce, chunk=chunk)
+            row_t = None
         out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
                                  time, bt, bk, bi, seed,
-                                 pixel_ids, sample_ids, bounce)
+                                 pixel_ids, sample_ids, bounce, row_t=row_t)
 
         miss = alive & ~out.hit
         L = L + v3.where(miss, beta * V3(bg[0], bg[1], bg[2]), 0.0)

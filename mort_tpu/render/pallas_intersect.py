@@ -516,6 +516,127 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
             row[ROW_IDX].astype(jnp.int32), row)
 
 
+# ---------------------------------------------------------------------------
+# Custom VJP: differentiate through the kernel
+# ---------------------------------------------------------------------------
+# The closest-hit argmin is a detached discrete choice (SURVEY.md section 7,
+# "hard parts": visibility/branch choices are frozen under perturbation).
+# Conditioned on the winner (kind, idx), both outputs are cheap analytic
+# functions of the inputs:
+#   * t: the winner's root, recomputed per ray from its 2 (sphere) or 6
+#     (quad) coefficient rows — O(R*K_LIN) gathers instead of the O(R*C)
+#     bandwidth-bound XLA intersector the backward used to fall back to;
+#   * row: a column gather of the joined table — its VJP is a scatter-add.
+# Gradients therefore flow to every differentiable scene leaf through
+# pack_spheres/pack_quads/pack_joined_table and to the ray state (origin,
+# direction, time), while the cull boxes stay stop_gradient'ed like BVH
+# traversal decisions.
+
+
+def _t_winner(rays, hrow, crow, qrow, kind, t_min, has_s, has_q):
+    """Recompute the winning hit distance analytically (objects.cuh:61-88 /
+    190-215), numerically guarded so vjp cotangents of non-winning lanes
+    are exactly zero (no NaN * 0)."""
+    B = _ray_basis(rays)                       # [K_LIN, R]
+    rdx, rdy, rdz = rays[3], rays[4], rays[5]
+    a = rdx * rdx + rdy * rdy + rdz * rdz
+    t = jnp.zeros_like(a)
+    if has_s:
+        is_s = kind == K_SPHERE
+        half_b = jnp.sum(hrow * B.T, axis=1)
+        c_term = jnp.sum(crow * B.T, axis=1)
+        disc = half_b * half_b - a * c_term
+        disc = jnp.where(is_s, disc, 1.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+        root1 = -half_b - sq
+        root = jnp.where(root1 > t_min * a, root1, root1 + 2.0 * sq)
+        t = t + jnp.where(is_s, root / a, 0.0)
+    if has_q:
+        is_q = kind == K_QUAD
+        den = jnp.sum(qrow[:, 0] * B.T, axis=1)
+        num = jnp.sum(qrow[:, 1] * B.T, axis=1)
+        den = jnp.where(is_q & (jnp.abs(den) >= 1e-8), den, 1.0)
+        t = t + jnp.where(is_q, num / den, 0.0)
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, cull, interpret):
+    kw = dict(n_sph_chunks=n_sph_chunks, n_quad_chunks=n_quad_chunks,
+              t_min=t_min, cull=cull, interpret=interpret)
+
+    def run(rays, sph_tbl, quad_tbl, joined_tbl, cbox):
+        return _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, **kw)
+
+    f = jax.custom_vjp(run)
+
+    def fwd(rays, sph_tbl, quad_tbl, joined_tbl, cbox):
+        out = run(rays, sph_tbl, quad_tbl, joined_tbl, cbox)
+        t, kind, idx, _row = out
+        return out, (rays, sph_tbl, quad_tbl, t, kind, idx)
+
+    def bwd(res, cts):
+        rays, sph_tbl, quad_tbl, t, kind, idx = res
+        dt, _dk, _di, drow = cts
+        hit = kind != K_NONE
+        # the spare output rows alias (t, kind, idx); fold their cotangent in
+        dt_eff = jnp.where(hit, dt + drow[ROW_T], 0.0)
+
+        cpad = sph_tbl.shape[0] // 2
+        qpad = quad_tbl.shape[0] // 6
+        has_s, has_q = n_sph_chunks > 0, n_quad_chunks > 0
+
+        if has_s:
+            i_s = jnp.clip(idx, 0, cpad - 1)
+            hrow = sph_tbl[i_s]
+            crow = sph_tbl[cpad + i_s]
+        else:
+            hrow = crow = jnp.zeros((rays.shape[1], K_LIN), jnp.float32)
+        if has_q:
+            i_q = jnp.clip(idx, 0, qpad - 1)
+            qrow = jnp.stack([quad_tbl[p * qpad + i_q] for p in range(6)],
+                             axis=1)                       # [R, 6, K_LIN]
+        else:
+            qrow = jnp.zeros((rays.shape[1], 6, K_LIN), jnp.float32)
+
+        _, vjp_fn = jax.vjp(
+            lambda r, h, c, q: _t_winner(r, h, c, q, kind, t_min,
+                                         has_s, has_q),
+            rays, hrow, crow, qrow)
+        d_rays, d_h, d_c, d_q = vjp_fn(dt_eff)
+
+        d_sph = jnp.zeros_like(sph_tbl)
+        if has_s:
+            drop = jnp.int32(2 * cpad)
+            sel = hit & (kind == K_SPHERE)
+            d_sph = d_sph.at[jnp.where(sel, i_s, drop)].add(d_h, mode="drop")
+            d_sph = d_sph.at[jnp.where(sel, cpad + i_s, drop)].add(
+                d_c, mode="drop")
+        d_quad = jnp.zeros_like(quad_tbl)
+        if has_q:
+            drop = jnp.int32(6 * qpad)
+            sel = hit & (kind == K_QUAD)
+            for p in range(6):
+                d_quad = d_quad.at[jnp.where(sel, p * qpad + i_q, drop)].add(
+                    d_q[:, p], mode="drop")
+
+        # row = joined_tbl[:, gidx]: scatter the row cotangent back (columns
+        # >= ROW_T alias scalars handled above; miss lanes gathered col 0)
+        n_cols = (n_sph_chunks + n_quad_chunks) * CK
+        gidx = jnp.where(kind == K_QUAD, idx + n_sph_chunks * CK, idx)
+        gidx = jnp.where(hit, gidx, n_cols)
+        drow_m = jnp.concatenate(
+            [drow[:ROW_T], jnp.zeros((ROW_K - ROW_T, drow.shape[1]),
+                                     drow.dtype)], axis=0)
+        d_joined = jnp.zeros((ROW_K, n_cols), jnp.float32)
+        d_joined = d_joined.at[:, gidx].add(drow_m, mode="drop")
+
+        return d_rays, d_sph, d_quad, d_joined, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
                        interpret=False, cull=None):
     """Closest sphere/quad hit + joined shading row via the fused kernel.
@@ -543,10 +664,9 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
         # (measured: scene 1's 485 spheres render faster unguarded)
         cull = n_prims > CK
     cbox = cluster_boxes(data, meta, qf) if cull else None
-    t, kind, idx, row = _closest_hit(
-        rays, sph_tbl, quad_tbl, joined, cbox,
-        n_sph_chunks=sph_tbl.shape[0] // (2 * CK),
-        n_quad_chunks=quad_tbl.shape[0] // (6 * CK),
-        t_min=float(t_min), cull=bool(cull), interpret=interpret)
+    fn = _closest_hit_vjp(sph_tbl.shape[0] // (2 * CK),
+                          quad_tbl.shape[0] // (6 * CK),
+                          float(t_min), bool(cull), bool(interpret))
+    t, kind, idx, row = fn(rays, sph_tbl, quad_tbl, joined, cbox)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]

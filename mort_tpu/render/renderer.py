@@ -39,7 +39,8 @@ def _pick_ray_batch(meta: SceneMeta, n_pixels: int) -> int:
 
 def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
                         pixel_ids, chunk=512, differentiable=False,
-                        sample_offset=0, n_samples=None):
+                        sample_offset=0, n_samples=None, use_pallas=False,
+                        pallas_interpret=False):
     """Mean radiance over ``n_samples`` stratified samples for a flat pixel
     id array [P] -> [P,3].  The building block for both the single-chip
     batch loop and the sharded multi-chip path; ``sample_offset`` enables
@@ -55,7 +56,9 @@ def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
         sample_ids = jnp.full((P,), s, jnp.int32)
         return acc + trace(data, meta, qf, cam, basis, seed, pixel_ids,
                            sample_ids, chunk=chunk,
-                           differentiable=differentiable)
+                           differentiable=differentiable,
+                           use_pallas=use_pallas,
+                           pallas_interpret=pallas_interpret)
 
     acc = jax.lax.fori_loop(sample_offset, sample_offset + n_samples,
                             sample_body, jnp.zeros((P, 3), jnp.float32))
@@ -64,9 +67,11 @@ def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
     return acc * (1.0 / spp)
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "ray_batch", "chunk", "differentiable"))
+@functools.partial(jax.jit, static_argnames=("meta", "ray_batch", "chunk",
+                                             "differentiable", "use_pallas"))
 def _render_flat(data: SceneData, cam: Camera, seed, *, meta: SceneMeta,
-                 ray_batch: int, chunk: int, differentiable: bool):
+                 ray_batch: int, chunk: int, differentiable: bool,
+                 use_pallas: bool = False):
     """Mean radiance per pixel, flat [W*H, 3] (pre-gamma linear)."""
     W, H = cam.image_width, cam.image_height
     WH = W * H
@@ -79,7 +84,8 @@ def _render_flat(data: SceneData, cam: Camera, seed, *, meta: SceneMeta,
         pix = jnp.arange(B, dtype=jnp.int32) + i * B
         pix = jnp.minimum(pix, WH - 1)   # tail batch duplicates last pixel
         acc = radiance_for_pixels(data, meta, cam, seed, pix, chunk=chunk,
-                                  differentiable=differentiable)
+                                  differentiable=differentiable,
+                                  use_pallas=use_pallas)
         return jax.lax.dynamic_update_slice(fb, acc, (i * B, 0))
 
     fb = jax.lax.fori_loop(0, n_batches, batch_body, fb)
@@ -90,15 +96,18 @@ def _render_flat(data: SceneData, cam: Camera, seed, *, meta: SceneMeta,
 
 
 def render(data: SceneData, meta: SceneMeta, cam: Camera, seed=DEFAULT_SEED,
-           ray_batch=None, chunk=512, differentiable=False):
+           ray_batch=None, chunk=512, differentiable=False, use_pallas=None):
     """Render the scene; returns linear radiance image [H, W, 3] float32
     (row 0 = bottom)."""
     W, H = cam.image_width, cam.image_height
     if ray_batch is None:
         ray_batch = _pick_ray_batch(meta, W * H)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     fb = _render_flat(data, cam, jnp.uint32(seed), meta=meta,
                       ray_batch=int(ray_batch), chunk=int(chunk),
-                      differentiable=bool(differentiable))
+                      differentiable=bool(differentiable),
+                      use_pallas=bool(use_pallas))
     return fb.reshape(H, W, 3)
 
 

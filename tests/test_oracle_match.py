@@ -58,8 +58,10 @@ def test_scene4_perlin():
 
 def test_scene6_cornell():
     world, cam = sc.cornell_box()
-    # MIS + dielectric light sampling: wider tolerance, small crop
-    _compare(world, cam, width=16, spp=9, depth=6, frac_ok=0.93, mean_tol=3e-2)
+    # MIS + dielectric light sampling; a 128-px cross-integrator comparison
+    # complements this oracle crop (test_wavefront.test_cornell_mediumres)
+    _compare(world, cam, width=32, spp=9, depth=6, frac_ok=0.97,
+             mean_tol=1.5e-2)
 
 
 def test_scene7_smoke():

@@ -123,3 +123,63 @@ def test_all_miss():
                                           interpret=True)
     assert not np.isfinite(np.asarray(t)).any()
     assert (np.asarray(k) == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: gradients through the kernel
+# ---------------------------------------------------------------------------
+
+def _grads_for(w, cam, use_pallas):
+    from mort_tpu.render.renderer import radiance_for_pixels
+    from mort_tpu.parallel.sharding import _extract_diff
+
+    data, meta = w.compile()
+    pix = jnp.arange(cam.image_width * cam.image_height, dtype=jnp.int32)
+    diff0 = _extract_diff(data)
+
+    def loss(diff):
+        d = data.replace(**diff)
+        img = radiance_for_pixels(d, meta, cam, jnp.uint32(5), pix,
+                                  differentiable=True,
+                                  use_pallas=use_pallas,
+                                  pallas_interpret=True)
+        return jnp.mean(img * jnp.asarray([0.6, 0.3, 0.1]))
+
+    val, grads = jax.value_and_grad(loss)(diff0)
+    return float(val), {k: np.asarray(v) for k, v in grads.items()}
+
+
+def test_vjp_gradients_match_xla_path():
+    """Reverse-mode through the kernel (custom VJP, analytic winner
+    recompute) must match the XLA intersector's gradients — the same
+    detached-argmin policy, so values AND grads agree to float tolerance."""
+    w = _mixed_world(n_sph=5, n_quad=3)
+    cam = make_camera(image_width=12, samples_per_pixel=4, bounce_limit=4,
+                      vfov=60, lookfrom=[0, 1, 8], lookat=[0, 0, 0])
+    v_x, g_x = _grads_for(w, cam, use_pallas=False)
+    v_p, g_p = _grads_for(w, cam, use_pallas=True)
+    np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
+    some_signal = 0.0
+    for k in g_x:
+        np.testing.assert_allclose(g_p[k], g_x[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
+        some_signal += np.abs(g_x[k]).sum()
+    assert some_signal > 0
+
+
+def test_vjp_gradients_match_xla_path_moving_and_media():
+    """Motion blur + a constant medium: t-gradients flow through the
+    moving-sphere coefficient rows; media override (outside the kernel)
+    keeps its own path."""
+    w = _mixed_world(n_sph=6, n_quad=2, moving=True)
+    iso = w.lambertian(w.solid_color([0.4, 0.4, 0.9]))
+    b = w.sphere([0, 0, 0], 2.5, w.dielectric(1.5), skip=True)
+    w.constant_medium(b, 0.3, iso)
+    cam = make_camera(image_width=10, samples_per_pixel=4, bounce_limit=4,
+                      vfov=60, lookfrom=[0, 1, 8], lookat=[0, 0, 0])
+    v_x, g_x = _grads_for(w, cam, use_pallas=False)
+    v_p, g_p = _grads_for(w, cam, use_pallas=True)
+    np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
+    for k in g_x:
+        np.testing.assert_allclose(g_p[k], g_x[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
