@@ -1,4 +1,4 @@
-"""Benchmark harness: Scene 1 throughput vs the reference RTX-2080 anchor.
+"""Benchmark harness: reference workloads vs the RTX-2080 anchor.
 
 The reference's only published number: Scene 1 (random_spheres, 1200x675 at
 100 effective spp, bounce_limit 20, ~490 spheres + BVH) renders in ~16 s on
@@ -6,11 +6,20 @@ an RTX 2080 (reference README.md:11; geometry pinned from mort.cu:210-213,
 camera.cuh:48-52 — BASELINE.json's "1200x800" is corrected to the code-true
 1200x675, see BASELINE.md).  Derived: 5.0625 M camera paths/s.
 
-Prints ONE JSON line:
+Default mode prints ONE JSON line (the driver contract):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline > 1 means faster than the RTX-2080 anchor per chip.
 Timing excludes compilation (the reference prints steady-state per-frame
-kernel time, mort.cu:110-119).
+kernel time, mort.cu:110-119); compilation is excluded by a tiny-span
+warmup render that reuses the same jitted span function.
+
+``--all`` additionally benches the reference's heavy workloads at their
+code-true geometry — cornell_box 600^2 @ 961 eff. spp depth 50
+(mort.cu:442-448), cornell_smoke 800^2 @ 1936 eff. spp depth 50
+(mort.cu:491-504), final_scene 800^2 @ 961 eff. spp depth 40
+(mort.cu:678-680) — and writes one record per scene (paths/s,
+ray-segments/s, lane occupancy) to BENCH_SCENES.json, still ending with
+the single scene-1 driver line on stdout.
 """
 
 from __future__ import annotations
@@ -22,6 +31,70 @@ import time
 
 BASELINE_PATHS_PER_S = 1200 * 675 * 100 / 16.0   # RTX 2080 anchor
 
+# Per-device-execution path budget: heavy scenes split into more, shorter
+# spans so single launches stay well under the tunneled-TPU watchdog.
+SPAN_PATHS = {1: 200_000_000, 6: 40_000_000, 7: 40_000_000, 8: 20_000_000}
+
+
+def _bench_scene(idx, frames, quick, span_paths=None):
+    from mort_tpu.render.wavefront import render_wavefront
+    from mort_tpu.scene import scenes as sc
+
+    if idx == 1:
+        world, cam = sc.random_spheres(quick=quick)
+    else:
+        world, cam = sc.build_scene(idx)
+    data, meta = world.compile()
+    if quick:
+        cam = cam.replace(image_width=300, image_height=168, sqrt_spp=3,
+                          bounce_limit=8)
+    spp = cam.sqrt_spp ** 2
+    n_paths = cam.image_width * cam.image_height * spp
+    if span_paths is None:
+        span_paths = SPAN_PATHS.get(idx, 40_000_000)
+
+    print(f"bench scene {idx}: {cam.image_width}x{cam.image_height} "
+          f"@ {spp}spp depth {cam.bounce_limit}, "
+          f"{meta.n_spheres} spheres {meta.n_quads} quads "
+          f"({n_paths/1e6:.0f}M paths/frame)", file=sys.stderr)
+
+    kw = dict(max_paths_per_call=span_paths)
+
+    # compile via a tiny span (same static shapes as the full frames)
+    t0 = time.perf_counter()
+    render_wavefront(data, meta, cam, seed=69420,
+                     task_range=(0, 4096), **kw).block_until_ready()
+    print(f"  compile+warmup span: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    times, stats = [], None
+    for i in range(frames):
+        t0 = time.perf_counter()
+        render_wavefront(data, meta, cam, seed=69420 + i,
+                         **kw).block_until_ready()
+        times.append(time.perf_counter() - t0)
+        stats = render_wavefront.last_stats
+        print(f"  frame {i}: {times[-1]:.3f}s", file=sys.stderr)
+    wall = sorted(times)[len(times) // 2]   # median
+
+    rec = {
+        "scene": idx,
+        "width": cam.image_width, "height": cam.image_height,
+        "spp": spp, "depth": cam.bounce_limit,
+        "wall_s": round(wall, 3),
+        "paths_per_s": round(n_paths / wall, 1),
+        "vs_baseline": round(n_paths / wall / BASELINE_PATHS_PER_S, 4),
+    }
+    if stats:
+        segs = stats["useful_segments"]
+        rec["ray_segments_per_s"] = round(segs / wall, 1)
+        rec["avg_path_len"] = round(segs / n_paths, 3)
+        rec["lane_occupancy"] = round(segs / max(stats["slots_executed"], 1), 4)
+    print(f"  -> {rec['paths_per_s']/1e6:.1f}M paths/s, "
+          f"{rec.get('ray_segments_per_s', 0)/1e6:.0f}M segs/s, "
+          f"occupancy {rec.get('lane_occupancy', 0):.2f}", file=sys.stderr)
+    return rec
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -29,47 +102,31 @@ def main():
                     help="reduced geometry/spp for a fast smoke run")
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--scene", type=int, default=1)
+    ap.add_argument("--all", action="store_true",
+                    help="bench reference workloads (scenes 1,6,7,8); "
+                         "write BENCH_SCENES.json")
+    ap.add_argument("--span-paths", type=int, default=None,
+                    help="max camera paths per device execution")
     args = ap.parse_args()
 
-    from mort_tpu.render.wavefront import render_wavefront as render_fn
-    from mort_tpu.scene import scenes as sc
-
-    if args.scene == 1:
-        world, cam = sc.random_spheres(quick=args.quick)
+    if args.all:
+        recs = []
+        for idx, frames in ((1, args.frames), (6, 1), (7, 1), (8, 1)):
+            recs.append(_bench_scene(idx, frames, args.quick,
+                                     span_paths=args.span_paths))
+        with open("BENCH_SCENES.json", "w") as f:
+            json.dump(recs, f, indent=1)
+        print("wrote BENCH_SCENES.json", file=sys.stderr)
+        rec = recs[0]
     else:
-        world, cam = sc.build_scene(args.scene)
-    data, meta = world.compile()
-    if args.quick:
-        cam = cam.replace(image_width=300, image_height=168, sqrt_spp=3,
-                          bounce_limit=8)
-
-    print(f"bench scene {args.scene}: {cam.image_width}x{cam.image_height} "
-          f"@ {cam.sqrt_spp**2}spp depth {cam.bounce_limit}, "
-          f"{meta.n_spheres} spheres {meta.n_quads} quads", file=sys.stderr)
-
-    # compile + warmup (wavefront renderer: the TPU fast path; splits the
-    # task space into bounded device executions, so it is also what long
-    # tunneled-TPU sessions must use)
-    t0 = time.perf_counter()
-    render_fn(data, meta, cam, seed=69420).block_until_ready()
-    print(f"compile+first render: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    times = []
-    for i in range(args.frames):
-        t0 = time.perf_counter()
-        render_fn(data, meta, cam, seed=69420 + i).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    wall = sorted(times)[len(times) // 2]   # median
-
-    n_paths = cam.image_width * cam.image_height * cam.sqrt_spp ** 2
-    paths_per_s = n_paths / wall
-    print(f"steady-state: {wall:.3f}s for {n_paths/1e6:.1f}M paths", file=sys.stderr)
+        rec = _bench_scene(args.scene, args.frames, args.quick,
+                           span_paths=args.span_paths)
 
     print(json.dumps({
-        "metric": "scene1_paths_per_s" if args.scene == 1 else f"scene{args.scene}_paths_per_s",
-        "value": round(paths_per_s, 1),
+        "metric": f"scene{rec['scene']}_paths_per_s",
+        "value": rec["paths_per_s"],
         "unit": "paths/s/chip",
-        "vs_baseline": round(paths_per_s / BASELINE_PATHS_PER_S, 4),
+        "vs_baseline": rec["vs_baseline"],
     }))
 
 
