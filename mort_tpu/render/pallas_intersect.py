@@ -75,11 +75,40 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _interleave_blocks(blocks, cl=None):
+    """Stack per-primitive coefficient blocks CL-interleaved.
+
+    blocks: list of [Npad, K] arrays (same Npad, a CL multiple).  Output
+    row ((s * n_blocks + p) * CL + r) = blocks[p][s * CL + r] — so one
+    contiguous [n_blocks * CL(..CK), K] slice per sub-cluster (or chunk)
+    feeds a SINGLE MXU matmul covering every block, instead of n_blocks
+    small ones (the kernel's dominant cost at 3k+ primitives).
+    """
+    cl = cl or CL
+    npad = blocks[0].shape[0]
+    k = blocks[0].shape[1]
+    arr = jnp.stack(blocks, axis=0)                   # [P, Npad, K]
+    arr = arr.reshape(len(blocks), npad // cl, cl, k)
+    return jnp.transpose(arr, (1, 0, 2, 3)).reshape(len(blocks) * npad, k)
+
+
+def sphere_row(j):
+    """Interleaved table row of primitive j's half_b coefficients; its
+    c_term row is sphere_row(j) + CL."""
+    return (j // CL) * (2 * CL) + (j % CL)
+
+
+def quad_row(j, p):
+    """Interleaved table row of quad j's p-th coefficient block."""
+    return (j // CL) * (6 * CL) + p * CL + (j % CL)
+
+
 def pack_spheres(data, meta):
     """[2*Cpad, K_LIN] f32 sphere coefficient table (differentiable).
 
-    Rows [0, Cpad): half_b coefficients; rows [Cpad, 2*Cpad): c_term
-    coefficients, so that  half_b = A_h @ B  and  c_term = A_c @ B  give
+    half_b and c_term coefficient rows, CL-interleaved per sub-cluster
+    (``_interleave_blocks``: prim j's rows sit at ``sphere_row(j)`` and
+    +CL), so that  half_b = A_h @ B  and  c_term = A_c @ B  give
     exactly the quadratic of objects.cuh:61-88 with motion blur
     (objects.cuh:90-97) folded in.  Skip rows (world.cuh `skip`, used as
     media boundaries) and padding rows carry a +REJECT constant term that
@@ -111,16 +140,19 @@ def pack_spheres(data, meta):
                     [z] * (K_LIN - 17), axis=1)
     pad_h = jnp.zeros((cpad - n_rows, K_LIN), jnp.float32)
     pad_c = pad_h.at[:, _B_ONE].set(REJECT)
-    return jnp.concatenate([a_h, pad_h, a_c, pad_c], axis=0)
+    return _interleave_blocks([jnp.concatenate([a_h, pad_h], axis=0),
+                               jnp.concatenate([a_c, pad_c], axis=0)])
 
 
 def pack_quads(data, meta, qf):
     """[6*Qpad, K_LIN] f32 quad coefficient table.
 
-    Six Qpad-row blocks: denom = n.rd; num = D - n.ro; a1 = vxw.ro - qa;
-    a2 = vxw.rd; b1 = wxu.ro - qb; b2 = wxu.rd — so alpha = a1 + t*a2 and
-    beta = b1 + t*b2 reproduce objects.cuh:190-215.  Skip/padding rows get
-    a1 -= REJECT, failing the alpha window for every ray.
+    Six coefficient blocks, CL-interleaved per sub-cluster (quad j's p-th
+    block row at ``quad_row(j, p)``): denom = n.rd; num = D - n.ro;
+    a1 = vxw.ro - qa; a2 = vxw.rd; b1 = wxu.ro - qb; b2 = wxu.rd — so
+    alpha = a1 + t*a2 and beta = b1 + t*b2 reproduce objects.cuh:190-215.
+    Skip/padding rows get a1 -= REJECT, failing the alpha window for every
+    ray.
     """
     if meta.n_quads == 0:
         return jnp.zeros((0, K_LIN), jnp.float32)
@@ -149,9 +181,8 @@ def pack_quads(data, meta, qf):
     pad = jnp.zeros((qpad - n_rows, K_LIN), jnp.float32)
     pad_a1 = pad.at[:, _B_ONE].set(-REJECT)
     pads = [pad, pad, pad_a1, pad, pad, pad]
-    return jnp.concatenate(
-        [jnp.concatenate([b, p], axis=0) for b, p in zip(blocks, pads)],
-        axis=0)
+    return _interleave_blocks(
+        [jnp.concatenate([b, p], axis=0) for b, p in zip(blocks, pads)])
 
 
 def pack_joined_table(data, meta, table):
@@ -227,6 +258,38 @@ def cluster_boxes(data, meta, qf):
     return jax.lax.stop_gradient(jnp.concatenate(subs, axis=0))
 
 
+def cluster_tree(cbox):
+    """Implicit-heap AABB tree over the Morton-ordered CL-sized sub-clusters.
+
+    Because primitive rows are Morton-ordered at compile time
+    (scene/build.py), consecutive sub-clusters are spatially coherent, so a
+    binary heap over the *sequence* is a valid LBVH: node k covers leaves
+    [k<<d, (k+1)<<d) at depth d.  Returns [2L, 6] f32 (lo xyz, hi xyz) with
+    node 1 the root, children (2k, 2k+1), leaves at [L, L + n_sub); row 0
+    and padding leaves carry inverted boxes (never reachable).  Like the
+    flat cull boxes, traversal decisions are detached (stop_gradient).
+    """
+    import jax
+    n_sub = cbox.shape[0]
+    L = 1
+    while L < n_sub:
+        L *= 2
+    lo = jnp.pad(cbox[:, 0:3], ((0, L - n_sub), (0, 0)), constant_values=BIG)
+    hi = jnp.pad(cbox[:, 3:6], ((0, L - n_sub), (0, 0)), constant_values=-BIG)
+    levels = [(lo, hi)]
+    while levels[0][0].shape[0] > 1:
+        l, h = levels[0]
+        levels.insert(0, (jnp.minimum(l[0::2], l[1::2]),
+                          jnp.maximum(h[0::2], h[1::2])))
+    los = jnp.concatenate([jnp.full((1, 3), BIG, jnp.float32)]
+                          + [l for l, _ in levels], axis=0)
+    his = jnp.concatenate([jnp.full((1, 3), -BIG, jnp.float32)]
+                          + [h for _, h in levels], axis=0)
+    return jax.lax.stop_gradient(jnp.concatenate([los, his], axis=1))
+
+
+_STACK = 32       # traversal stack depth; tree depth is log2(L) + 1 <= 31
+
 _DN = (((1,), (0,)), ((), ()))
 
 
@@ -259,16 +322,22 @@ def _argmin_rows(cand):
     return ct, ci
 
 
-def _sphere_chunk_best(a_h, a_c, B, a, t_min_a):
-    """Closest sphere candidate within one (CK', TR) tile.
+def _sphere_chunk_best(sph_ref, start, n_sub, B, a, t_min_a):
+    """Closest sphere candidate over ``n_sub`` CL-interleaved sub-clusters
+    starting at table row ``start``.
 
-    ``a_h``/``a_c`` are half_b / c_term coefficient slices (CK', K_LIN);
-    the quadratic's linear algebra all rides the MXU.  Roots stay scaled by
-    a = |rd|^2 (> 0, per-ray): the closest-root search is monotone under the
-    scaling, so the per-pair division is hoisted out of the tile — the
-    winner is unscaled once per ray by the caller."""
-    half_b = jax.lax.dot_general(a_h, B, _DN, preferred_element_type=jnp.float32)
-    c_term = jax.lax.dot_general(a_c, B, _DN, preferred_element_type=jnp.float32)
+    ONE MXU matmul produces both half_b and c_term for every primitive in
+    the slice (the interleaved layout keeps the coefficient blocks
+    contiguous); candidate index is local to the slice's primitives.
+    Roots stay scaled by a = |rd|^2 (> 0, per-ray): the closest-root search
+    is monotone under the scaling, so the per-pair division is hoisted out
+    of the tile — the winner is unscaled once per ray by the caller."""
+    coef = sph_ref[pl.ds(start, n_sub * 2 * CL), :]
+    prod = jax.lax.dot_general(coef, B, _DN,
+                               preferred_element_type=jnp.float32)
+    r = prod.reshape(n_sub, 2, CL, prod.shape[-1])
+    half_b = r[:, 0].reshape(n_sub * CL, -1)
+    c_term = r[:, 1].reshape(n_sub * CL, -1)
     disc = half_b * half_b - a * c_term
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     root1s = -half_b - sq
@@ -277,15 +346,20 @@ def _sphere_chunk_best(a_h, a_c, B, a, t_min_a):
     return _argmin_rows(jnp.where(valid, root_s, BIG))
 
 
-def _quad_chunk_best(q_den, q_num, q_a1, q_a2, q_b1, q_b2, B, t_min):
-    """Closest quad candidate within one (CK', TR) tile; the six coefficient
-    slices each produce their per-pair term with one MXU matmul."""
-    den = jax.lax.dot_general(q_den, B, _DN, preferred_element_type=jnp.float32)
-    num = jax.lax.dot_general(q_num, B, _DN, preferred_element_type=jnp.float32)
-    a1 = jax.lax.dot_general(q_a1, B, _DN, preferred_element_type=jnp.float32)
-    a2 = jax.lax.dot_general(q_a2, B, _DN, preferred_element_type=jnp.float32)
-    b1 = jax.lax.dot_general(q_b1, B, _DN, preferred_element_type=jnp.float32)
-    b2 = jax.lax.dot_general(q_b2, B, _DN, preferred_element_type=jnp.float32)
+def _quad_chunk_best(quad_ref, start, n_sub, B, t_min):
+    """Closest quad candidate over ``n_sub`` CL-interleaved sub-clusters
+    starting at table row ``start``; ONE MXU matmul yields all six
+    per-pair terms for the slice."""
+    coef = quad_ref[pl.ds(start, n_sub * 6 * CL), :]
+    prod = jax.lax.dot_general(coef, B, _DN,
+                               preferred_element_type=jnp.float32)
+    r = prod.reshape(n_sub, 6, CL, prod.shape[-1])
+    den = r[:, 0].reshape(n_sub * CL, -1)
+    num = r[:, 1].reshape(n_sub * CL, -1)
+    a1 = r[:, 2].reshape(n_sub * CL, -1)
+    a2 = r[:, 3].reshape(n_sub * CL, -1)
+    b1 = r[:, 4].reshape(n_sub * CL, -1)
+    b2 = r[:, 5].reshape(n_sub * CL, -1)
     ok = jnp.abs(den) >= 1e-8
     t = jnp.where(ok, num / jnp.where(ok, den, 1.0), -1.0)
     alpha = a1 + t * a2
@@ -296,21 +370,34 @@ def _quad_chunk_best(q_den, q_num, q_a1, q_a2, q_b1, q_b2, B, t_min):
     return _argmin_rows(jnp.where(valid, t, BIG))
 
 
-def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
-    """Kernel over (rays, [sph], [quad], tbl, [cbox]) — the sphere/quad
+def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0):
+    """Kernel over (rays, [sph], [quad], tbl, [cbox|tree]) — the sphere/quad
     tables are passed only when their chunk count is nonzero (scene 1 has no
     quads; the Cornell walls scene has no surface spheres), so empty kinds
     cost zero kernel work and zero VMEM.
 
-    ``cull``: primitive tests run per CL-sized sub-cluster behind a scalar
-    any-lane AABB slab pre-test (cbox in SMEM) — a whole 128-prim block is
-    skipped when no ray in the tile can reach its box closer than its
-    current best hit.  The one-hot row gather is likewise skipped for CK
-    chunks that hold no winner.
+    ``accel`` selects the acceleration mode:
+
+    * ``"none"``: brute-force scan of every CK chunk.
+    * ``"cull"``: linear scan per CL-sized sub-cluster behind a scalar
+      any-lane AABB slab pre-test (cbox in SMEM) — a whole 128-prim block is
+      skipped when no ray in the tile can reach its box closer than its
+      current best hit.
+    * ``"bvh"``: packet traversal of the implicit cluster heap
+      (``cluster_tree``, SMEM) with a per-tile scalar stack — the TPU
+      counterpart of the reference's per-ray stack machine
+      (objects.cuh:664-723).  Children are visited front-to-back along the
+      tile's mean ray, so early hits narrow per-lane best-t and prune whole
+      subtrees; lexicographic (t, row) merging keeps the reference's
+      closest-hit tie rules exactly (sphere rows order before quad rows).
+
+    The one-hot row gather is likewise skipped for CK chunks that hold no
+    winner in the cull/bvh modes.
     """
     n_all_chunks = n_sph_chunks + n_quad_chunks
     n_sph_sub = n_sph_chunks * (CK // CL)
     n_quad_sub = n_quad_chunks * (CK // CL)
+    cull = accel == "cull"
 
     def kernel(*refs):
         it = iter(refs)
@@ -319,7 +406,9 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
         quad_ref = next(it) if n_quad_chunks else None
         tbl_ref = next(it)
         cbox_ref = next(it) if cull else None
-        (row_ref,) = it
+        tree_ref = next(it) if accel == "bvh" else None
+        row_ref = next(it)
+        stack_ref = next(it, None)              # SMEM scratch (bvh only)
 
         rays = rays_ref[:]                      # (8, TR)
         rox, roy, roz = rays[0:1], rays[1:2], rays[2:3]
@@ -327,8 +416,126 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
         a = rdx * rdx + rdy * rdy + rdz * rdz
         B = _ray_basis(rays)
         t_min_a = t_min * a
-        sph_half = n_sph_chunks * CK            # c_term block offset
-        quad_n = n_quad_chunks * CK             # quad coefficient block stride
+        sph_rows = n_sph_chunks * CK            # quad block offset in gidx
+
+        if accel == "bvh":
+            tiny = 1e-30
+            irdx = 1.0 / jnp.where(jnp.abs(rdx) < tiny,
+                                   jnp.where(rdx >= 0, tiny, -tiny), rdx)
+            irdy = 1.0 / jnp.where(jnp.abs(rdy) < tiny,
+                                   jnp.where(rdy >= 0, tiny, -tiny), rdy)
+            irdz = 1.0 / jnp.where(jnp.abs(rdz) < tiny,
+                                   jnp.where(rdz >= 0, tiny, -tiny), rdz)
+            inv_a = 1.0 / a
+            # tile mean ray, for front-to-back child ordering (scalars)
+            mox, moy, moz = jnp.mean(rox), jnp.mean(roy), jnp.mean(roz)
+            mdx, mdy, mdz = jnp.mean(rdx), jnp.mean(rdy), jnp.mean(rdz)
+
+            def node_reachable(k, bt):
+                """Any lane's ray enters node k's box in (t_min, best_t).
+                All-padding subtrees carry inverted boxes whose +-BIG slab
+                products blow up to (-inf, inf), so validity is checked on
+                the box itself, not the slab interval."""
+                valid = tree_ref[k, 0] <= tree_ref[k, 3]
+                x0 = (tree_ref[k, 0] - rox) * irdx
+                x1 = (tree_ref[k, 3] - rox) * irdx
+                y0 = (tree_ref[k, 1] - roy) * irdy
+                y1 = (tree_ref[k, 4] - roy) * irdy
+                z0 = (tree_ref[k, 2] - roz) * irdz
+                z1 = (tree_ref[k, 5] - roz) * irdz
+                lo = jnp.maximum(jnp.maximum(jnp.minimum(x0, x1),
+                                             jnp.minimum(y0, y1)),
+                                 jnp.minimum(z0, z1))
+                hi = jnp.minimum(jnp.minimum(jnp.maximum(x0, x1),
+                                             jnp.maximum(y0, y1)),
+                                 jnp.maximum(z0, z1))
+                return valid & jnp.any((lo <= hi) & (hi > t_min) & (lo < bt))
+
+            def node_key(k):
+                """Mean-ray distance to node k's box center (scalar)."""
+                cx = 0.5 * (tree_ref[k, 0] + tree_ref[k, 3])
+                cy = 0.5 * (tree_ref[k, 1] + tree_ref[k, 4])
+                cz = 0.5 * (tree_ref[k, 2] + tree_ref[k, 5])
+                return (cx - mox) * mdx + (cy - moy) * mdy + (cz - moz) * mdz
+
+            def merge(ct, gi, bt, bg):
+                # lexicographic (t, global row) min == the reference's
+                # registry-ordered strict < (sphere rows precede quad rows)
+                better = (ct < bt) | ((ct == bt) & (ct < BIG) & (gi < bg))
+                return (jnp.where(better, ct, bt), jnp.where(better, gi, bg))
+
+            def sph_leaf(s, bt, bg):
+                ct, ci = _sphere_chunk_best(sph_ref, s * 2 * CL, 1, B, a,
+                                            t_min_a)
+                ct = jnp.where(ct >= BIG, BIG, ct * inv_a)
+                return merge(ct, ci + s * CL, bt, bg)
+
+            def quad_leaf(s, bt, bg):
+                ct, ci = _quad_chunk_best(quad_ref, s * 6 * CL, 1, B, t_min)
+                return merge(ct, ci + s * CL + sph_rows, bt, bg)
+
+            def leaf_fn(s, bt, bg):
+                if n_sph_sub and n_quad_sub:
+                    return jax.lax.cond(
+                        s < n_sph_sub,
+                        lambda b, g: sph_leaf(s, b, g),
+                        lambda b, g: quad_leaf(s - n_sph_sub, b, g),
+                        bt, bg)
+                if n_sph_sub:
+                    return sph_leaf(s, bt, bg)
+                return quad_leaf(s, bt, bg)
+
+            L = tree_L
+
+            def t_cond(c):
+                return c[0] > 0
+
+            def t_body(c):
+                sp, bt, bg = c
+                sp = sp - 1
+                node = stack_ref[sp]
+
+                def visit(sp, bt, bg):
+                    def leaf(sp, bt, bg):
+                        bt, bg = leaf_fn(node - L, bt, bg)
+                        return sp, bt, bg
+
+                    def internal(sp, bt, bg):
+                        c0 = 2 * node
+                        c1 = c0 + 1
+                        near_first = node_key(c0) <= node_key(c1)
+                        near = jnp.where(near_first, c0, c1)
+                        far = jnp.where(near_first, c1, c0)
+                        stack_ref[sp] = far
+                        stack_ref[sp + 1] = near   # popped first
+                        return sp + 2, bt, bg
+
+                    return jax.lax.cond(node >= L, leaf, internal, sp, bt, bg)
+
+                return jax.lax.cond(node_reachable(node, bt), visit,
+                                    lambda s, b, g: (s, b, g), sp, bt, bg)
+
+            stack_ref[0] = jnp.int32(1)            # root
+            _, t, best_g = jax.lax.while_loop(
+                t_cond, t_body,
+                (jnp.int32(1),
+                 jnp.full((1, TR), BIG, jnp.float32),
+                 jnp.full((1, TR), jnp.int32(1 << 30))))
+
+            hit = t < BIG
+            if n_sph_sub and n_quad_sub:
+                q_win = best_g >= sph_rows
+            else:
+                q_win = jnp.full_like(hit, bool(n_quad_sub))
+            idx = jnp.where(q_win, best_g - sph_rows, best_g)
+            idx = jnp.where(hit, idx, 0)
+            kind = jnp.where(hit,
+                             jnp.where(q_win, K_QUAD, K_SPHERE),
+                             K_NONE).astype(jnp.int32)
+            gidx = jnp.where(hit, best_g, 0)
+            _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind,
+                      idx, guard=n_all_chunks > 1)
+            return
 
         if cull:
             tiny = 1e-30
@@ -366,9 +573,8 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
             def sph_body(s, carry):
                 def do(carry):
                     bt, bi = carry
-                    a_h = sph_ref[pl.ds(s * CL, CL), :]
-                    a_c = sph_ref[pl.ds(sph_half + s * CL, CL), :]
-                    ct, ci = _sphere_chunk_best(a_h, a_c, B, a, t_min_a)
+                    ct, ci = _sphere_chunk_best(sph_ref, s * 2 * CL, 1, B, a,
+                                                t_min_a)
                     better = ct < bt
                     return (jnp.where(better, ct, bt),
                             jnp.where(better, ci + s * CL, bi))
@@ -382,9 +588,8 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
         else:
             def sph_body(k, carry):
                 bt, bi = carry
-                a_h = sph_ref[pl.ds(k * CK, CK), :]
-                a_c = sph_ref[pl.ds(sph_half + k * CK, CK), :]
-                ct, ci = _sphere_chunk_best(a_h, a_c, B, a, t_min_a)
+                ct, ci = _sphere_chunk_best(sph_ref, k * 2 * CK, CK // CL,
+                                            B, a, t_min_a)
                 better = ct < bt
                 return (jnp.where(better, ct, bt),
                         jnp.where(better, ci + k * CK, bi))
@@ -398,16 +603,12 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
         qt = jnp.full((1, TR), BIG, jnp.float32)
         qi = jnp.zeros((1, TR), jnp.int32)
 
-        def quad_slices(start, size):
-            return (quad_ref[pl.ds(p * quad_n + start, size), :]
-                    for p in range(6))
-
         if cull:
             def quad_body(s, carry):
                 def do(carry):
                     bt, bi = carry
-                    ct, ci = _quad_chunk_best(*quad_slices(s * CL, CL),
-                                              B, t_min)
+                    ct, ci = _quad_chunk_best(quad_ref, s * 6 * CL, 1, B,
+                                              t_min)
                     better = ct < bt
                     return (jnp.where(better, ct, bt),
                             jnp.where(better, ci + s * CL, bi))
@@ -423,7 +624,8 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
         else:
             def quad_body(k, carry):
                 bt, bi = carry
-                ct, ci = _quad_chunk_best(*quad_slices(k * CK, CK), B, t_min)
+                ct, ci = _quad_chunk_best(quad_ref, k * 6 * CK, CK // CL,
+                                          B, t_min)
                 better = ct < bt
                 return (jnp.where(better, ct, bt),
                         jnp.where(better, ci + k * CK, bi))
@@ -438,54 +640,62 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull):
         kind = jnp.where(hit,
                          jnp.where(q_better, K_QUAD, K_SPHERE),
                          K_NONE).astype(jnp.int32)
-
-        # joined-row "gather" as a one-hot matmul, fully in VMEM: TPU has no
-        # fast vector gather, but (32, CK) tbl @ (CK, TR) one-hot rides the
-        # MXU and lands the row transposed — [32, TR] — so the shading
-        # pass's per-column reads are contiguous.
         gidx = jnp.where(q_better, idx + n_sph_chunks * CK, idx)
-
-        def row_chunk(k, acc):
-            tbl = tbl_ref[:, pl.ds(k * CK, CK)]          # (32, CK)
-            local = gidx - k * CK
-            oh = (local == jax.lax.broadcasted_iota(
-                jnp.int32, (CK, TR), 0)).astype(jnp.float32)
-            return acc + jax.lax.dot_general(
-                tbl, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        if cull and n_all_chunks > 1:
-            def row_body(k, acc):
-                lo = k * CK
-                present = jnp.any(hit & (gidx >= lo) & (gidx < lo + CK))
-                return jax.lax.cond(present, lambda a: row_chunk(k, a),
-                                    lambda a: a, acc)
-        else:
-            row_body = row_chunk
-
-        row = jax.lax.fori_loop(0, n_all_chunks, row_body,
-                                jnp.zeros((ROW_K, TR), jnp.float32))
-
-        # rows >= ROW_T of the join are zero padding; carry the closest-hit
-        # scalars there so the kernel has one Mosaic-legal (32, TR) output.
-        row_ref[:, :] = jnp.concatenate(
-            [row[:ROW_T], t, kind.astype(jnp.float32),
-             idx.astype(jnp.float32),
-             jnp.zeros((ROW_K - ROW_IDX - 1, TR), jnp.float32)], axis=0)
+        _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx,
+                  guard=cull and n_all_chunks > 1)
     return kernel
+
+
+def _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx, *,
+              guard):
+    """Gather the winners' joined rows and write the kernel output.
+
+    The joined-row "gather" is a one-hot matmul, fully in VMEM: TPU has no
+    fast vector gather, but (32, CK) tbl @ (CK, TR) one-hot rides the MXU
+    and lands the row transposed — [32, TR] — so the shading pass's
+    per-column reads are contiguous.  With ``guard``, CK chunks holding no
+    winner are skipped.  Rows >= ROW_T of the join are zero padding; the
+    closest-hit scalars ride there so the kernel has one Mosaic-legal
+    (32, TR) output block.
+    """
+    def row_chunk(k, acc):
+        tbl = tbl_ref[:, pl.ds(k * CK, CK)]          # (32, CK)
+        local = gidx - k * CK
+        oh = (local == jax.lax.broadcasted_iota(
+            jnp.int32, (CK, TR), 0)).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            tbl, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if guard:
+        def row_body(k, acc):
+            lo = k * CK
+            present = jnp.any(hit & (gidx >= lo) & (gidx < lo + CK))
+            return jax.lax.cond(present, lambda a: row_chunk(k, a),
+                                lambda a: a, acc)
+    else:
+        row_body = row_chunk
+
+    row = jax.lax.fori_loop(0, n_all_chunks, row_body,
+                            jnp.zeros((ROW_K, TR), jnp.float32))
+    row_ref[:, :] = jnp.concatenate(
+        [row[:ROW_T], t, kind.astype(jnp.float32),
+         idx.astype(jnp.float32),
+         jnp.zeros((ROW_K - ROW_IDX - 1, TR), jnp.float32)], axis=0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_sph_chunks", "n_quad_chunks",
-                                    "t_min", "cull", "interpret"))
+                                    "t_min", "accel", "interpret"))
 def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
-                 n_quad_chunks, t_min, cull, interpret=False):
+                 n_quad_chunks, t_min, accel, interpret=False):
     R = rays.shape[1]
     grid = R // TR
     out_shape = [
         jax.ShapeDtypeStruct((ROW_K, R), jnp.float32),
     ]
-    kernel = _make_kernel(n_sph_chunks, n_quad_chunks, t_min, cull)
+    tree_L = cbox.shape[0] // 2 if accel == "bvh" else 0
+    kernel = _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L)
     operands = [rays]
     in_specs = [pl.BlockSpec((8, TR), lambda i: (0, i), memory_space=pltpu.VMEM)]
     if n_sph_chunks:
@@ -499,7 +709,8 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
     operands.append(joined_tbl)
     in_specs.append(pl.BlockSpec(joined_tbl.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
-    if cull:
+    if accel in ("cull", "bvh"):
+        # cull: flat [n_sub, 8] cluster boxes; bvh: [2L, 6] implicit heap
         operands.append(cbox)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     [row] = pl.pallas_call(
@@ -510,6 +721,8 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
             pl.BlockSpec((ROW_K, TR), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
+        scratch_shapes=([pltpu.SMEM((_STACK,), jnp.int32)]
+                        if accel == "bvh" else []),
         interpret=interpret,
     )(*operands)
     return (row[ROW_T], row[ROW_KIND].astype(jnp.int32),
@@ -561,9 +774,9 @@ def _t_winner(rays, hrow, crow, qrow, kind, t_min, has_s, has_q):
 
 
 @functools.lru_cache(maxsize=None)
-def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, cull, interpret):
+def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret):
     kw = dict(n_sph_chunks=n_sph_chunks, n_quad_chunks=n_quad_chunks,
-              t_min=t_min, cull=cull, interpret=interpret)
+              t_min=t_min, accel=accel, interpret=interpret)
 
     def run(rays, sph_tbl, quad_tbl, joined_tbl, cbox):
         return _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, **kw)
@@ -588,13 +801,13 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, cull, interpret):
 
         if has_s:
             i_s = jnp.clip(idx, 0, cpad - 1)
-            hrow = sph_tbl[i_s]
-            crow = sph_tbl[cpad + i_s]
+            hrow = sph_tbl[sphere_row(i_s)]
+            crow = sph_tbl[sphere_row(i_s) + CL]
         else:
             hrow = crow = jnp.zeros((rays.shape[1], K_LIN), jnp.float32)
         if has_q:
             i_q = jnp.clip(idx, 0, qpad - 1)
-            qrow = jnp.stack([quad_tbl[p * qpad + i_q] for p in range(6)],
+            qrow = jnp.stack([quad_tbl[quad_row(i_q, p)] for p in range(6)],
                              axis=1)                       # [R, 6, K_LIN]
         else:
             qrow = jnp.zeros((rays.shape[1], 6, K_LIN), jnp.float32)
@@ -609,15 +822,16 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, cull, interpret):
         if has_s:
             drop = jnp.int32(2 * cpad)
             sel = hit & (kind == K_SPHERE)
-            d_sph = d_sph.at[jnp.where(sel, i_s, drop)].add(d_h, mode="drop")
-            d_sph = d_sph.at[jnp.where(sel, cpad + i_s, drop)].add(
+            d_sph = d_sph.at[jnp.where(sel, sphere_row(i_s), drop)].add(
+                d_h, mode="drop")
+            d_sph = d_sph.at[jnp.where(sel, sphere_row(i_s) + CL, drop)].add(
                 d_c, mode="drop")
         d_quad = jnp.zeros_like(quad_tbl)
         if has_q:
             drop = jnp.int32(6 * qpad)
             sel = hit & (kind == K_QUAD)
             for p in range(6):
-                d_quad = d_quad.at[jnp.where(sel, p * qpad + i_q, drop)].add(
+                d_quad = d_quad.at[jnp.where(sel, quad_row(i_q, p), drop)].add(
                     d_q[:, p], mode="drop")
 
         # row = joined_tbl[:, gidx]: scatter the row cotangent back (columns
@@ -638,14 +852,20 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, cull, interpret):
 
 
 def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
-                       interpret=False, cull=None):
+                       interpret=False, cull=None, accel=None):
     """Closest sphere/quad hit + joined shading row via the fused kernel.
 
     ``table`` is primtable.build_prim_table's join.  ``ro``/``rd`` are SoA
     V3 (render/vec.py) or [R,3] arrays.  Returns (best_t [R] with +inf
     misses, best_kind [R], best_idx [R], row_t [32, R]).  Rays are padded
-    to a TR multiple internally.  ``cull`` (default: auto) enables the
-    sub-cluster AABB pre-test.
+    to a TR multiple internally.
+
+    ``accel`` selects the in-kernel acceleration: "none" (brute force),
+    "cull" (linear scan with per-sub-cluster any-lane AABB guards), or
+    "bvh" (packet traversal of the implicit cluster heap — the default
+    above one CK chunk of primitives; below it the guard overhead beats
+    the savings, measured on scene 1's 485 spheres).  ``cull`` is the
+    deprecated bool alias (True -> "cull", False -> "none").
     """
     from .vec import V3
     if not isinstance(ro, V3):
@@ -659,14 +879,20 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
     quad_tbl = pack_quads(data, meta, qf)
     joined = pack_joined_table(data, meta, table)
     n_prims = (meta.n_spheres + meta.n_quads)
-    if cull is None:
-        # guard overhead beats the savings below ~1 CK chunk of work
-        # (measured: scene 1's 485 spheres render faster unguarded)
-        cull = n_prims > CK
-    cbox = cluster_boxes(data, meta, qf) if cull else None
+    if accel is None:
+        if cull is not None:
+            accel = "cull" if cull else "none"
+        else:
+            accel = "bvh" if n_prims > CK else "none"
+    if accel == "bvh":
+        cbox = cluster_tree(cluster_boxes(data, meta, qf))
+    elif accel == "cull":
+        cbox = cluster_boxes(data, meta, qf)
+    else:
+        cbox = None
     fn = _closest_hit_vjp(sph_tbl.shape[0] // (2 * CK),
                           quad_tbl.shape[0] // (6 * CK),
-                          float(t_min), bool(cull), bool(interpret))
+                          float(t_min), str(accel), bool(interpret))
     t, kind, idx, row = fn(rays, sph_tbl, quad_tbl, joined, cbox)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]
