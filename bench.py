@@ -64,8 +64,8 @@ def _bench_scene(idx, frames, quick, span_paths=None):
     t0 = time.perf_counter()
     render_wavefront(data, meta, cam, seed=69420,
                      task_range=(0, 4096), **kw).block_until_ready()
-    print(f"  compile+warmup span: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    compile_s = time.perf_counter() - t0
+    print(f"  compile+warmup span: {compile_s:.1f}s", file=sys.stderr)
 
     times, stats = [], None
     for i in range(frames):
@@ -82,6 +82,8 @@ def _bench_scene(idx, frames, quick, span_paths=None):
         "width": cam.image_width, "height": cam.image_height,
         "spp": spp, "depth": cam.bounce_limit,
         "wall_s": round(wall, 3),
+        "compile_s": round(compile_s, 1),
+        "frames": frames,
         "paths_per_s": round(n_paths / wall, 1),
         "vs_baseline": round(n_paths / wall / BASELINE_PATHS_PER_S, 4),
     }
@@ -96,6 +98,52 @@ def _bench_scene(idx, frames, quick, span_paths=None):
     return rec
 
 
+def _bench_grad_step(quick):
+    """Gradient-path throughput: one sharded train step (forward + backward
+    + grad psum over the 1-chip mesh) on scene 1 at a scaled config — the
+    lockstep differentiable integrator with the kernel's custom VJP.
+    Reported as grad-step camera paths/s next to the forward number
+    (BASELINE config: gradient allreduce path)."""
+    from mort_tpu.parallel.sharding import make_mesh, make_train_step
+    from mort_tpu.scene import scenes as sc
+    import numpy as np
+
+    world, cam = sc.random_spheres(quick=quick)
+    data, meta = world.compile()
+    # scaled config: training steps run many small iterations, not full spp
+    cam = cam.replace(image_width=600 if not quick else 160,
+                      image_height=338 if not quick else 90,
+                      sqrt_spp=2, bounce_limit=8)
+    spp = cam.sqrt_spp ** 2
+    n_paths = cam.image_width * cam.image_height * spp
+    step = make_train_step(meta, make_mesh(1))
+    target = np.zeros((cam.image_height, cam.image_width, 3), np.float32)
+
+    t0 = time.perf_counter()
+    loss, grads = step(data, cam, target, seed=69420)
+    import jax
+    jax.block_until_ready((loss, grads))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        loss, grads = step(data, cam, target, seed=69420 + i)
+        jax.block_until_ready((loss, grads))
+        times.append(time.perf_counter() - t0)
+    wall = sorted(times)[len(times) // 2]
+    rec = {
+        "scene": 1, "mode": "grad_step",
+        "width": cam.image_width, "height": cam.image_height,
+        "spp": spp, "depth": cam.bounce_limit,
+        "wall_s": round(wall, 3), "compile_s": round(compile_s, 1),
+        "grad_paths_per_s": round(n_paths / wall, 1),
+        "loss": float(loss),
+    }
+    print(f"  grad step: {wall:.3f}s -> {rec['grad_paths_per_s']/1e6:.2f}M "
+          f"paths/s (fwd+bwd+psum)", file=sys.stderr)
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -103,17 +151,31 @@ def main():
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--scene", type=int, default=1)
     ap.add_argument("--all", action="store_true",
-                    help="bench reference workloads (scenes 1,6,7,8); "
-                         "write BENCH_SCENES.json")
+                    help="bench reference workloads (scenes 1,6,7,8) + the "
+                         "gradient step; write BENCH_SCENES.json")
+    ap.add_argument("--grad", action="store_true",
+                    help="bench only the gradient train step")
     ap.add_argument("--span-paths", type=int, default=None,
                     help="max camera paths per device execution")
     args = ap.parse_args()
 
+    if args.grad:
+        rec = _bench_grad_step(args.quick)
+        print(json.dumps({
+            "metric": "scene1_grad_paths_per_s",
+            "value": rec["grad_paths_per_s"],
+            "unit": "paths/s/chip",
+            "vs_baseline": round(rec["grad_paths_per_s"]
+                                 / BASELINE_PATHS_PER_S, 4),
+        }))
+        return
+
     if args.all:
         recs = []
-        for idx, frames in ((1, args.frames), (6, 1), (7, 1), (8, 1)):
+        for idx, frames in ((1, args.frames), (6, 2), (7, 2), (8, 2)):
             recs.append(_bench_scene(idx, frames, args.quick,
                                      span_paths=args.span_paths))
+        recs.append(_bench_grad_step(args.quick))
         with open("BENCH_SCENES.json", "w") as f:
             json.dump(recs, f, indent=1)
         print("wrote BENCH_SCENES.json", file=sys.stderr)

@@ -190,17 +190,26 @@ def finalize_and_shade(data: SceneData, meta: SceneMeta, qf: QuadFrames,
         metal_dir = v3.unit(refl) + v3.unit_sphere_dir(f1, f2) * fuzz
         skip_dir = v3.where(kind == MAT_METAL, metal_dir, skip_dir)
     if MAT_DIELECTRIC in kinds_present:
-        ior = col(pt.COL_IOR)
+        is_diel = kind == MAT_DIELECTRIC
+        # Sanitize INPUTS into the branch, not just the output select:
+        # non-dielectric and miss lanes reach here with garbage state (the
+        # miss-lane row gather clips to row 0, whose G0 "normal" is an
+        # unnormalised sphere center; ior is 0 on non-dielectric rows), and
+        # a single inf/NaN in the discarded branch poisons reverse-mode
+        # through the 0-cotangent x inf product (observed as NaN
+        # d(loss)/d(ior) on the cornell glass sphere).
+        ior = jnp.where(is_diel, col(pt.COL_IOR), 1.0)
+        d_norm = v3.where(is_diel, normal, V3.full_like(t, 1.0, 0.0, 0.0))
         ratio = jnp.where(front, 1.0 / ior, ior)
-        ud = v3.unit(rd)
-        cos_theta = jnp.minimum(v3.dot(-ud, normal), 1.0)
+        ud = v3.unit(v3.where(is_diel, rd, V3.full_like(t, -1.0, 0.0, 0.0)))
+        cos_theta = jnp.minimum(v3.dot(-ud, d_norm), 1.0)
         sin_theta = v3.safe_sqrt(1.0 - cos_theta * cos_theta)
         cannot = ratio * sin_theta > 1.0
         reflect_choice = cannot | (v3.schlick(cos_theta, ratio) > diel_u)
         d_dir = v3.where(reflect_choice,
-                         v3.reflect(ud, normal),
-                         v3.refract(ud, normal, ratio))
-        skip_dir = v3.where(kind == MAT_DIELECTRIC, d_dir, skip_dir)
+                         v3.reflect(ud, d_norm),
+                         v3.refract(ud, d_norm, ratio))
+        skip_dir = v3.where(is_diel, d_dir, skip_dir)
 
     # ---- diffuse branch: cosine/sphere pdf + optional light MIS ----
     if diffuse_present:

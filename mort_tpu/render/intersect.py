@@ -336,31 +336,6 @@ def finalize_hit(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd, time,
     return Hit(hit=hit, t=t, p=p, normal=normal, front_face=front, u=uu, v=vv, mat=mat)
 
 
-def scene_bounds(data: SceneData, meta: SceneMeta):
-    """Conservative world AABB over all *surface* primitives (media
-    boundaries excluded; they lie inside other geometry anyway), as two [3]
-    arrays.  Used to quantize ray positions for wavefront ray sorting —
-    a scheduling decision, so gradients are stopped (like cull boxes)."""
-    import jax
-    los, his = [], []
-    if meta.n_spheres:
-        r = jnp.abs(data.sph_radius)[:, None]
-        lo = jnp.minimum(data.sph_center, data.sph_center + data.sph_cvec) - r
-        hi = jnp.maximum(data.sph_center, data.sph_center + data.sph_cvec) + r
-        m = data.sph_surface[:, None]
-        los.append(jnp.min(jnp.where(m, lo, INF), axis=0))
-        his.append(jnp.max(jnp.where(m, hi, -INF), axis=0))
-    if meta.n_quads:
-        Q, u, v = data.quad_Q, data.quad_u, data.quad_v
-        corners = jnp.stack([Q, Q + u, Q + v, Q + u + v], axis=0)
-        m = data.quad_surface[None, :, None]
-        los.append(jnp.min(jnp.where(m, corners, INF), axis=(0, 1)))
-        his.append(jnp.max(jnp.where(m, corners, -INF), axis=(0, 1)))
-    lo = jnp.min(jnp.stack(los), axis=0)
-    hi = jnp.max(jnp.stack(his), axis=0)
-    return jax.lax.stop_gradient(lo), jax.lax.stop_gradient(hi)
-
-
 def intersect_best(data: SceneData, meta: SceneMeta, qf: QuadFrames,
                    ro, rd, time, seed, pixel, sample, bounce, chunk=512):
     """world::hit closest-hit search only: returns (best_t, best_kind,

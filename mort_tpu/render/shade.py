@@ -34,11 +34,18 @@ def _const3(a):
 # ---------------------------------------------------------------------------
 
 def _sphere_light_pdf(data: SceneData, row: int, p: V3, direction: V3):
-    """sphere::pdf_value (objects.cuh:110-122): solid-angle pdf, 0 on miss."""
+    """sphere::pdf_value (objects.cuh:110-122): solid-angle pdf, 0 on miss.
+
+    The returned value is computed from ``hits``-sanitized inputs: the
+    masked-out branch of the final where must stay finite in BOTH passes,
+    or its VJP's 0-cotangent x overflow products poison upstream gradients
+    (the masked lanes include grazing directions whose intermediate values
+    overflow float32 when differentiated).
+    """
     c = _const3(data.sph_center[row])
     r = data.sph_radius[row]
     oc = p - c
-    a = v3.length_sq(direction)
+    a = jnp.maximum(v3.length_sq(direction), 1e-20)
     half_b = v3.dot(oc, direction)
     c_term = v3.length_sq(oc) - r * r
     disc = half_b * half_b - a * c_term
@@ -51,7 +58,7 @@ def _sphere_light_pdf(data: SceneData, row: int, p: V3, direction: V3):
     # (objects.cuh:118, sqrt of a negative); we clamp to 0 (gradient safety)
     # — only reachable in degenerate scenes, and the oracle mirrors this.
     cos_theta_max = v3.safe_sqrt(1.0 - r * r / v3.length_sq(c - p))
-    solid_angle = 2.0 * PI * (1.0 - cos_theta_max)
+    solid_angle = jnp.maximum(2.0 * PI * (1.0 - cos_theta_max), 1e-12)
     return jnp.where(hits, 1.0 / solid_angle, 0.0)
 
 
@@ -85,8 +92,14 @@ def _quad_light_pdf(data: SceneData, qf: QuadFrames, row: int, p: V3,
     beta = v3.dot(p, wxu) + t * v3.dot(direction, wxu) - qf.qb[row]
     hits = (ok_denom & (t > T_MIN)
             & (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1))
-    dist_sq = t * t * v3.length_sq(direction)
-    cosine = jnp.abs(denom) / v3.length(direction)
+    # the returned pdf is computed from hits-sanitized values: masked-out
+    # grazing lanes reach t ~ num/1e-8 whose VJP (~num^2/denom^3) overflows
+    # float32, and 0-cotangent x inf = NaN poisons gradients upstream
+    # (observed as NaN d(loss)/d(ior) through a p -> earlier-bounce chain)
+    t_s = jnp.where(hits, t, 1.0)
+    denom_s = jnp.where(hits, denom, 1.0)
+    dist_sq = t_s * t_s * v3.length_sq(direction)
+    cosine = jnp.abs(denom_s) / jnp.maximum(v3.length(direction), 1e-10)
     return jnp.where(hits, dist_sq / (cosine * qf.area[row]), 0.0)
 
 

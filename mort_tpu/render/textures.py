@@ -35,18 +35,25 @@ def _hash3(i, j, k, salt):
     return h ^ (h >> jnp.uint32(16))
 
 
+# Edge-direction gradients have length sqrt(2); the reference gathers random
+# UNIT vectors (textures.cuh:192, 246-249).  Normalising by 1/sqrt(2) makes
+# the two noise fields agree in amplitude (mean/std — enforced by
+# tests/test_perlin_stats.py), not just in spatial character.
+_INV_SQRT2 = 0.7071067811865476
+
+
 def _grad_dot(h, wx, wy, wz):
     """Dot of a hashed gradient with the corner weight vector, using the
     12-edge-direction gradient set of improved Perlin noise (components in
-    {-1,0,1}) — branchless selects instead of the reference's gathered
-    random unit vectors (textures.cuh:192, 246-249)."""
+    {-1,0,1}, scaled to unit length) — branchless selects instead of the
+    reference's gathered random unit vectors (textures.cuh:192, 246-249)."""
     hh = h & jnp.uint32(15)
     u = jnp.where(hh < 8, wx, wy)
     v = jnp.where(hh < 4, wy,
                   jnp.where((hh == 12) | (hh == 14), wx, wz))
     u = jnp.where((h & jnp.uint32(1)) != 0, -u, u)
     v = jnp.where((h & jnp.uint32(2)) != 0, -v, v)
-    return u + v
+    return (u + v) * jnp.float32(_INV_SQRT2)
 
 
 def _perlin_noise(p, salt):

@@ -142,10 +142,16 @@ def reflect(v: V3, n: V3) -> V3:
 
 
 def refract(uv: V3, n: V3, etai_over_etat) -> V3:
-    """Snell refraction of unit vector uv (vec3.cuh:198-204)."""
+    """Snell refraction of unit vector uv (vec3.cuh:198-204).
+
+    The sqrt argument is floored away from 0: at the total-internal-
+    reflection boundary |perp|^2 -> 1 the sqrt derivative diverges, and the
+    0-cotangent x inf product poisons reverse-mode gradients of the lanes
+    that chose the *reflect* branch (observed as NaN d(loss)/d(ior) on the
+    cornell glass sphere).  Forward values change by < 1e-10."""
     cos_theta = jnp.minimum(dot(-uv, n), 1.0)
     perp = (uv + cos_theta * n) * etai_over_etat
-    par = -jnp.sqrt(jnp.abs(1.0 - length_sq(perp)))
+    par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - length_sq(perp)), 1e-20))
     return perp + n * par
 
 

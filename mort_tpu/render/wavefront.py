@@ -62,53 +62,30 @@ from ..camera import Camera, derive_basis, get_rays_soa
 from ..rng import DEFAULT_SEED
 from ..scene.build import SceneData, SceneMeta
 from .hitshade import finalize_and_shade
-from .intersect import (T_MIN, intersect_best, media_pass, quad_frames,
-                        scene_bounds)
+from .intersect import T_MIN, intersect_best, media_pass, quad_frames
 from .primtable import build_prim_table
 from . import pallas_intersect as pal
 from . import vec as v3
 from .vec import V3
 
 
-def _part1by2(v):
-    """Spread the low 10 bits of uint32 v so they occupy every 3rd bit."""
-    v = (v | (v << 16)) & jnp.uint32(0x30000FF)
-    v = (v | (v << 8)) & jnp.uint32(0x300F00F)
-    v = (v | (v << 4)) & jnp.uint32(0x30C30C3)
-    return (v | (v << 2)) & jnp.uint32(0x9249249)
-
-
-def _lane_sort_key(ro, rd, lo, inv_span):
-    """Spatial-directional coherence key for wavefront ray sorting.
-
-    Position Morton code (6 bits/axis over the scene AABB) in the high
-    bits, direction Morton code (4 bits/axis) below it: bounced rays group
-    by region first, camera rays (which share an origin cell) group by
-    direction.  Coherent 1024-ray kernel tiles make the any-lane AABB
-    sub-cluster cull (pallas_intersect._make_kernel) actually prune — with
-    unsorted pools, almost every cluster is reachable by *some* lane.
-    """
-    def q(c, l, s, bits):
-        n = jnp.float32((1 << bits) - 1)
-        u = jnp.clip((c - l) * s * n, 0.0, n)
-        return u.astype(jnp.uint32)
-
-    px = q(ro.x, lo[0], inv_span[0], 6)
-    py = q(ro.y, lo[1], inv_span[1], 6)
-    pz = q(ro.z, lo[2], inv_span[2], 6)
-    posm = (_part1by2(px) << 2) | (_part1by2(py) << 1) | _part1by2(pz)
-    # direction components are in [-1, 1] (not necessarily unit-normalised)
-    dx = q(rd.x, jnp.float32(-1.0), jnp.float32(0.5), 4)
-    dy = q(rd.y, jnp.float32(-1.0), jnp.float32(0.5), 4)
-    dz = q(rd.z, jnp.float32(-1.0), jnp.float32(0.5), 4)
-    dirm = (_part1by2(dx) << 2) | (_part1by2(dy) << 1) | _part1by2(dz)
-    return (posm << 12) | dirm
+# NOTE on ray sorting (removed in round 3): a Morton position+direction
+# argsort of the lane pool per window round was built and measured twice on
+# final_scene (3.4k prims).  Round 2, linear cull scan: the argsort+gather
+# cost exceeded the extra cull hits.  Round 3, with *ordered* packet-heap
+# traversal (accel="bvh"): per-round cost rose 71 ms -> 87 ms (the in-loop
+# argsort + 21 lane-state gathers cost ~16 ms at pool 2^17) while kernel
+# time did not drop at all — diffuse bounces decohere the pool within one
+# bounce, so only the first post-sort bounce of each window could benefit.
+# Coherence-by-sorting does not pay on TPU for diffuse-dominated workloads;
+# the kernel treats packets as incoherent by design.
 
 
 def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
                task_end, shard_id, *, meta: SceneMeta, pool: int, chunk: int,
                window: int, use_pallas: bool, spt: int, per: int,
-               n_shards: int, sort_rays: bool = False):
+               n_shards: int, pallas_interpret: bool = False,
+               pallas_accel=None):
     """Run the wavefront over local chunk-tasks [task_start, task_end);
     accumulate into fb (donated).  Splitting a render across calls keeps
     single device executions short (the tunneled TPU kills very long
@@ -131,9 +108,6 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
     qf = quad_frames(data)
     table, mat_cols = build_prim_table(data, meta, qf)
     P = pool
-    if sort_rays:
-        blo, bhi = scene_bounds(data, meta)
-        binv = 1.0 / jnp.maximum(bhi - blo, 1e-6)
 
     def to_global(local_pixel):
         if n_shards == 1:
@@ -149,7 +123,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         useful = useful + jnp.sum(alive.astype(jnp.uint32))
         if use_pallas:
             bt, bk, bi, row_t = pal.closest_hit_pallas(
-                data, meta, qf, table, ro, rd, tme)
+                data, meta, qf, table, ro, rd, tme,
+                interpret=pallas_interpret, accel=pallas_accel)
             if meta.media:
                 bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
                                         gpix, sample, bounce, T_MIN,
@@ -237,26 +212,6 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         alive = alive | has
         counter = counter + jnp.sum(idle.astype(jnp.uint32))
 
-        # --- coherence sort: permute the lane pool so kernel tiles are
-        # spatially/directionally coherent (see _lane_sort_key).  The
-        # counter RNG keys every draw by (pixel, sample, bounce, slot) and
-        # each pixel still deposits exactly once per layer, so permuting
-        # lanes cannot change any sampled value or the accumulation result.
-        if sort_rays:
-            key = jnp.where(alive, _lane_sort_key(ro, rd, blo, binv),
-                            jnp.uint32(0xFFFFFFFF))
-            perm = jnp.argsort(key)
-
-            def g(a):
-                return a[perm]
-
-            def gv(v):
-                return V3(v.x[perm], v.y[perm], v.z[perm])
-
-            alive, pixel, sample, send = g(alive), g(pixel), g(sample), g(send)
-            bounce, tme = g(bounce), g(tme)
-            ro, rd, L, Lsum, beta = gv(ro), gv(rd), gv(L), gv(Lsum), gv(beta)
-
         entering = alive
 
         # --- a window of bounce steps ---
@@ -301,22 +256,25 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
 
 @functools.partial(jax.jit,
                    static_argnames=("meta", "pool", "chunk", "window",
-                                    "use_pallas", "spt", "per", "sort_rays"),
+                                    "use_pallas", "spt", "per",
+                                    "pallas_interpret", "pallas_accel"),
                    donate_argnums=(3,))
 def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
                     task_end, *, meta: SceneMeta, pool: int, chunk: int,
                     window: int, use_pallas: bool, spt: int, per: int,
-                    sort_rays: bool = False):
+                    pallas_interpret: bool = False, pallas_accel=None):
     """Single-device span (n_shards == 1)."""
     return _span_core(data, cam, seed, fb, task_start, task_end,
                       jnp.int32(0), meta=meta, pool=pool, chunk=chunk,
                       window=window, use_pallas=use_pallas, spt=spt,
-                      per=per, n_shards=1, sort_rays=sort_rays)
+                      per=per, n_shards=1,
+                      pallas_interpret=pallas_interpret,
+                      pallas_accel=pallas_accel)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
-                  sort_rays=False):
+                  pallas_interpret=False, pallas_accel=None):
     """jitted shard_map'ed span over a 1-D 'rays' mesh.
 
     Scene/camera replicated; fb row-sharded; zero collectives (the forward
@@ -332,7 +290,8 @@ def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
         fb, iters, useful = _span_core(
             data, cam, seed, fb, t0, t1, sid, meta=meta, pool=pool,
             chunk=chunk, window=window, use_pallas=use_pallas, spt=spt,
-            per=per, n_shards=n, sort_rays=sort_rays)
+            per=per, n_shards=n,
+            pallas_interpret=pallas_interpret, pallas_accel=pallas_accel)
         return fb, iters[None], useful[None]
 
     fn = jax.shard_map(per_device, mesh=mesh,
@@ -352,7 +311,8 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
                      seed=DEFAULT_SEED, pool=None, chunk=512,
                      max_paths_per_call=200_000_000, fb=None, task_range=None,
                      scrub_nan=True, window=None, use_pallas=None, spt=None,
-                     mesh=None, layer_range=None, sort_rays=None):
+                     mesh=None, layer_range=None,
+                     pallas_interpret=False, pallas_accel=None):
     """Wavefront render; returns linear [H,W,3] (row 0 = bottom).
 
     The task space — W*H pixels x ceil(spp/spt) sample-chunks — is split
@@ -375,12 +335,6 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         spt = min(spp, 16)
     if window is None:
         window = 8 if use_pallas else 3
-    if sort_rays is None:
-        # measured on final_scene (3.4k prims): the per-round argsort+gather
-        # costs more than the extra any-lane cull hits recover under the
-        # *linear* Morton cluster scan — keep opt-in until ordered traversal
-        # can exploit the coherence (see pallas_intersect)
-        sort_rays = False
     n_chunks = -(-spp // spt)
     stats = {"iterations": 0, "useful_segments": 0, "slots_executed": 0}
 
@@ -409,7 +363,7 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         cam_d = jax.device_put(cam, repl)
         span = _sharded_span(mesh, meta, int(pool), int(chunk), int(window),
                              bool(use_pallas), int(spt), int(per),
-                             bool(sort_rays))
+                             bool(pallas_interpret), pallas_accel)
         tasks_per_call = max(pool, max_paths_per_call // spt)
         shard_useful = None
         for c in range(l0, l1):
@@ -457,7 +411,8 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
             jnp.uint32(s0), jnp.uint32(s1),
             meta=meta, pool=int(pool), chunk=int(chunk),
             window=int(window), use_pallas=bool(use_pallas), spt=int(spt),
-            per=WH, sort_rays=bool(sort_rays))
+            per=WH, pallas_interpret=bool(pallas_interpret),
+            pallas_accel=pallas_accel)
         stats["iterations"] += int(iters)
         stats["useful_segments"] += int(useful)
         stats["slots_executed"] += int(iters) * int(window) * int(pool)

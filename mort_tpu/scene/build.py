@@ -95,13 +95,19 @@ class SceneData:
     images: Any
     # Constant media.
     med_neg_inv_density: Any  # [Nm]
-    # NOTE deliberately NO BVH arrays here: the device acceleration structure
-    # is per-128-row AABB cluster culling over Morton-ordered primitive rows
-    # (render/pallas_intersect.py cluster_boxes), which is branch-free and
-    # MXU-friendly where a per-ray traversal stack (objects.cuh:664-723) is
-    # not.  The host BVH build (scene/bvh.py, native/bvh_builder.cpp) keeps
-    # topology parity with the reference (objects.cuh:529-611) and feeds
-    # reachability metadata only; see DEVIATIONS.md.
+    # NOTE deliberately NO per-primitive BVH arrays here: the device
+    # acceleration structure is derived in-trace from the Morton-ordered
+    # primitive rows (render/pallas_intersect.py) — per-128-row AABB cluster
+    # boxes for the "cull" mode and an implicit binary heap over the cluster
+    # sequence (cluster_tree) for the "bvh" packet traversal that large
+    # scenes (>512 prims) default to.  Deriving boxes from the
+    # differentiable rows (then stop_gradient-ing them) keeps SceneData the
+    # single source of truth under optimisation; a per-ray traversal stack
+    # over single primitives (objects.cuh:664-723) is replaced by a
+    # per-1024-ray-tile stack over clusters.  The host BVH build
+    # (scene/bvh.py, native/bvh_builder.cpp) keeps topology parity with the
+    # reference (objects.cuh:529-611) and feeds reachability metadata only;
+    # see DEVIATIONS.md section 3.
 
 
 @dataclass(frozen=True)

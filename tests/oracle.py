@@ -154,7 +154,8 @@ class Oracle:
         v = wy if hh < 4 else (wx if hh in (12, 14) else wz)
         u = -u if (h & 1) else u
         v = -v if (h & 2) else v
-        return F(u + v)
+        # unit-length gradient normalisation (render/textures._INV_SQRT2)
+        return F(u + v) * F(0.7071067811865476)
 
     def _perlin_noise(self, p, nid):
         from mort_tpu.render.textures import noise_salt

@@ -56,6 +56,36 @@ def test_wavefront_sharded_balance(three_sphere_scene):
     assert useful.max() <= 1.2 * useful.min(), useful
 
 
+def test_sharded_train_step_cornell():
+    """Training step on the cornell box (lights + MIS + dielectric +
+    instanced boxes) over the 8-mesh: the full BASELINE config-5 gradient
+    path at test scale.  Loss/grads must be finite, carry signal in the
+    geometry/material/emission leaves, and match the 1-device step."""
+    from mort_tpu.scene import scenes as sc
+
+    world, cam = sc.cornell_box()
+    data, meta = world.compile()
+    cam = cam.replace(image_width=12, image_height=12, sqrt_spp=2,
+                      bounce_limit=8)
+    target = np.asarray(render(data, meta, cam)) * 0.9
+
+    l1, g1 = jax.tree.map(np.asarray,
+                          make_train_step(meta, make_mesh(1))(data, cam, target))
+    l8, g8 = jax.tree.map(np.asarray,
+                          make_train_step(meta, make_mesh(8))(data, cam, target))
+    assert np.isfinite(l1) and np.isfinite(l8)
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    for k in g1:
+        assert np.isfinite(g1[k]).all(), k
+        np.testing.assert_allclose(g1[k], g8[k], rtol=5e-3, atol=1e-5,
+                                   err_msg=k)
+    # signal in the cornell-specific leaves: walls/lamp (quads), glass
+    # sphere ior, emission color
+    assert np.abs(g8["quad_Q"]).max() > 0
+    assert np.abs(g8["mat_ior"]).max() > 0
+    assert np.abs(g8["tex_color"]).max() > 0
+
+
 def test_sharded_grads(three_sphere_scene):
     data, meta, cam = three_sphere_scene
     target = np.asarray(render(data, meta, cam)) * 0.9

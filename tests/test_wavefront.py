@@ -49,19 +49,40 @@ def test_wavefront_pallas_interpret(three_sphere_scene):
                       bounce_limit=4)
     want = np.asarray(render_wavefront(data, meta, cam, seed=5,
                                        use_pallas=False))
-    from mort_tpu.render import pallas_intersect as pal
-    orig = pal.closest_hit_pallas
+    got = np.asarray(render_wavefront(data, meta, cam, seed=5,
+                                      use_pallas=True, pallas_interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
-    def interp(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
 
-    try:
-        pal.closest_hit_pallas = interp
-        got = np.asarray(render_wavefront(data, meta, cam, seed=5,
-                                          use_pallas=True))
-    finally:
-        pal.closest_hit_pallas = orig
+def test_wavefront_pallas_bvh_image():
+    """End-to-end wavefront image through the production accel path
+    (accel="bvh" packet heap traversal, the default for >512 prims) must
+    match the XLA-intersector wavefront exactly — same counter RNG, same
+    closest-hit semantics (objects.cuh:664-723 tie rules)."""
+    rng = np.random.RandomState(4)
+    from mort_tpu import World, make_camera
+
+    w = World()
+    ground = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    w.quad([-60, -1.0, -60], [120, 0, 0], [0, 0, 120], ground)
+    mats = [w.lambertian(w.solid_color(rng.rand(3))),
+            w.metal(rng.rand(3), 0.2), w.dielectric(1.5)]
+    for i in range(560):
+        c = [rng.uniform(-25, 25), rng.uniform(-0.5, 3), rng.uniform(-25, 5)]
+        if i % 7 == 0:
+            w.sphere(c, 0.4, mats[i % 3], center2=np.asarray(c) + [0, 0.3, 0])
+        else:
+            w.sphere(c, 0.4, mats[i % 3])
+    data, meta = w.compile()
+    assert meta.n_spheres + meta.n_quads > 512
+    cam = make_camera(aspect_ratio=16 / 9, image_width=24,
+                      samples_per_pixel=1, bounce_limit=4, vfov=35,
+                      lookfrom=[0, 2, 14], lookat=[0, 0, 0])
+    want = np.asarray(render_wavefront(data, meta, cam, seed=5,
+                                       use_pallas=False))
+    got = np.asarray(render_wavefront(data, meta, cam, seed=5,
+                                      use_pallas=True, pallas_interpret=True,
+                                      pallas_accel="bvh"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
