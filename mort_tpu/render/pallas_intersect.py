@@ -185,6 +185,114 @@ def pack_quads(data, meta, qf):
         [jnp.concatenate([b, p], axis=0) for b, p in zip(blocks, pads)])
 
 
+AAQ_K = 8         # columns of the axis-aligned-quad table
+_AQ_D = 0         # plane coordinate Q_k
+_AQ_QI = 1        # window origin along u's axis
+_AQ_IUI = 2       # 1 / u_i
+_AQ_QJ = 3        # window origin along v's axis
+_AQ_IVJ = 4       # 1 / v_j
+_AQ_ROW = 5       # original quad registry row (float32-exact, < 2^24)
+_AQ_LIVE = 6      # 1.0 for real rows, 0.0 for padding
+
+
+def aaq_groups_of(meta):
+    """Static (class -> row list) grouping of axis-aligned surface quads
+    (SceneMeta.aaq_class; 9 = general path)."""
+    groups = {}
+    for row, c in enumerate(meta.aaq_class):
+        if c != 9:
+            groups.setdefault(c, []).append(row)
+    return groups
+
+
+def pack_aaq(data, meta):
+    """Axis-aligned-quad fast-path tables (forward-only; stop_gradient'ed —
+    the custom VJP recomputes winners from the general coefficient rows, so
+    gradient semantics are identical to the matmul path).
+
+    Returns (tbl [Apad, AAQ_K] f32, groups) where groups is a static tuple
+    of (start, n_rows, k, i, j) descriptors: rows [start, start+n_rows) of
+    the table are quads whose unit normal is axis ``k`` with u along axis
+    ``i`` and v along axis ``j``; each group is 8-row padded with LIVE=0
+    rows.  For such a quad the plane/window test of objects.cuh:190-215
+    collapses to  t = (Q_k - ro_k)/rd_k,  alpha = (ro_i + t rd_i - Q_i)/u_i,
+    beta = (ro_j + t rd_j - Q_j)/v_j  — pure VPU broadcasts, no matmul.
+    """
+    groups = aaq_groups_of(meta)
+    if not groups:
+        return jnp.zeros((0, AAQ_K), jnp.float32), ()
+    parts, descs, start = [], [], 0
+    for c in sorted(groups):
+        rows = np.asarray(groups[c], np.int32)
+        i, j = c // 3, c % 3
+        k = 3 - i - j
+        Q = data.quad_Q[rows]
+        ui = data.quad_u[rows, i]
+        vj = data.quad_v[rows, j]
+        n = rows.shape[0]
+        tbl = jnp.stack([Q[:, k], Q[:, i], 1.0 / ui, Q[:, j], 1.0 / vj,
+                         rows.astype(np.float32) * jnp.ones(n, jnp.float32),
+                         jnp.ones(n, jnp.float32),
+                         jnp.zeros(n, jnp.float32)], axis=1)
+        npad = _round_up(n, 8)
+        tbl = jnp.pad(tbl, ((0, npad - n), (0, 0)))
+        parts.append(tbl)
+        descs.append((start, npad, k, i, j))
+        start += npad
+    return jax.lax.stop_gradient(jnp.concatenate(parts, axis=0)), tuple(descs)
+
+
+def pack_quads_general(data, meta, qf):
+    """Compacted general-orientation quad table + id column.
+
+    Same CL-interleaved six-block layout as :func:`pack_quads`, but holding
+    only the *surface* quads the aaq fast path cannot take (aaq_class == 9);
+    the id column maps each packed prim slot back to its original registry
+    row so closest-hit ties keep the reference's registry order.  Returns
+    (tbl [6*Gpad, K_LIN], ids [Gpad] f32 with +inf padding).
+    """
+    # class 9 = general orientation OR non-surface; non-surface rows are
+    # rejected by the surf term exactly as in pack_quads
+    rows = [r for r, c in enumerate(meta.aaq_class) if c == 9]
+    if not rows:
+        return (jnp.zeros((0, K_LIN), jnp.float32),
+                jnp.zeros((0,), jnp.float32))
+    rows = np.asarray(rows, np.int32)
+    n = rows.shape[0]
+    gpad = _round_up(max(n, CL), CL)
+    surf = data.quad_surface[rows].astype(jnp.float32)
+    z = jnp.zeros(n, jnp.float32)
+    zs = [z] * (K_LIN - 17)
+
+    def row_blk(c03=None, c68=None, const=None):
+        cols = [z, z, z] if c03 is None else [c03[:, 0], c03[:, 1], c03[:, 2]]
+        cols += [z, z, z]
+        cols += [z, z, z] if c68 is None else [c68[:, 0], c68[:, 1], c68[:, 2]]
+        cols += [z, z, z]
+        cols += [z if const is None else const, z, z, z, z] + zs
+        return jnp.stack(cols, axis=1)
+
+    nrm, vxw, wxu = qf.normal[rows], qf.vxw[rows], qf.wxu[rows]
+    D, qa, qb = qf.D[rows], qf.qa[rows], qf.qb[rows]
+    blocks = [
+        row_blk(c03=nrm),
+        row_blk(c68=-nrm, const=D),
+        row_blk(c68=vxw, const=-qa - (1.0 - surf) * REJECT),
+        row_blk(c03=vxw),
+        row_blk(c68=wxu, const=-qb),
+        row_blk(c03=wxu),
+    ]
+    pad = jnp.zeros((gpad - n, K_LIN), jnp.float32)
+    pad_a1 = pad.at[:, _B_ONE].set(-REJECT)
+    pads = [pad, pad, pad_a1, pad, pad, pad]
+    tbl = _interleave_blocks(
+        [jnp.concatenate([b, p], axis=0) for b, p in zip(blocks, pads)])
+    ids = jnp.concatenate([
+        jnp.asarray(rows, jnp.float32),
+        jnp.full((gpad - n,), jnp.float32(2.0e9))])
+    return tbl, ids
+
+
 def pack_joined_table(data, meta, table):
     """Re-pack the primtable join, transposed, for in-kernel one-hot gathers.
 
@@ -370,7 +478,68 @@ def _quad_chunk_best(quad_ref, start, n_sub, B, t_min):
     return _argmin_rows(jnp.where(valid, t, BIG))
 
 
-def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0):
+def _min_with_ids(cand, ids):
+    """(min t, id-of-min) over the prim axis of a (rows, TR) candidate tile;
+    the smallest *id* wins ties — with ids = original registry rows this is
+    exactly the reference's earlier-registry-entry-wins rule."""
+    ct = jnp.min(cand, axis=0, keepdims=True)
+    ci = jnp.min(jnp.where(cand == ct, ids, jnp.float32(2.0e9)), axis=0,
+                 keepdims=True)
+    return ct, ci
+
+
+def _quad_gen_best(gen_ref, ids_ref, n_sub, B, t_min):
+    """Closest general-orientation quad over the compacted table; candidate
+    ids are original registry rows (float32)."""
+    coef = gen_ref[pl.ds(0, n_sub * 6 * CL), :]
+    prod = jax.lax.dot_general(coef, B, _DN,
+                               preferred_element_type=jnp.float32)
+    r = prod.reshape(n_sub, 6, CL, prod.shape[-1])
+    den = r[:, 0].reshape(n_sub * CL, -1)
+    num = r[:, 1].reshape(n_sub * CL, -1)
+    a1 = r[:, 2].reshape(n_sub * CL, -1)
+    a2 = r[:, 3].reshape(n_sub * CL, -1)
+    b1 = r[:, 4].reshape(n_sub * CL, -1)
+    b2 = r[:, 5].reshape(n_sub * CL, -1)
+    ok = jnp.abs(den) >= 1e-8
+    t = jnp.where(ok, num / jnp.where(ok, den, 1.0), -1.0)
+    alpha = a1 + t * a2
+    beta = b1 + t * b2
+    valid = (ok & (t > t_min)
+             & (alpha >= 0.0) & (alpha <= 1.0)
+             & (beta >= 0.0) & (beta <= 1.0))
+    ids = ids_ref[pl.ds(0, n_sub * CL), :]      # (rows, 1) -> broadcast
+    return _min_with_ids(jnp.where(valid, t, BIG), ids)
+
+
+def _aaq_group_best(aaq_ref, desc, ro_c, rd_c, ird_c, mask_c, t_min):
+    """Closest axis-aligned quad within one orientation group.
+
+    ``desc`` = (start, n_rows, k, i, j); ro_c/rd_c/ird_c are per-axis (1,TR)
+    ray component rows, mask_c the |rd_k| >= 1e-8 guards.  ~20 VPU broadcast
+    ops per (quad, ray) pair — no MXU work at all.
+    """
+    start, n, k, i, j = desc
+    tbl = aaq_ref[pl.ds(start, n), :]
+    d = tbl[:, _AQ_D:_AQ_D + 1]
+    qi = tbl[:, _AQ_QI:_AQ_QI + 1]
+    iu = tbl[:, _AQ_IUI:_AQ_IUI + 1]
+    qj = tbl[:, _AQ_QJ:_AQ_QJ + 1]
+    iv = tbl[:, _AQ_IVJ:_AQ_IVJ + 1]
+    ids = tbl[:, _AQ_ROW:_AQ_ROW + 1]
+    live = tbl[:, _AQ_LIVE:_AQ_LIVE + 1] > 0.0
+    t = (d - ro_c[k]) * ird_c[k]                      # (n, TR)
+    alpha = (ro_c[i] - qi + t * rd_c[i]) * iu
+    beta = (ro_c[j] - qj + t * rd_c[j]) * iv
+    valid = (live & mask_c[k] & (t > t_min)
+             & (alpha >= 0.0) & (alpha <= 1.0)
+             & (beta >= 0.0) & (beta <= 1.0))
+    ids = jnp.where(live, ids, jnp.float32(2.0e9))
+    return _min_with_ids(jnp.where(valid, t, BIG), ids)
+
+
+def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
+                 n_gen_sub=0, aaq_groups=(), n_join_chunks=None):
     """Kernel over (rays, [sph], [quad], tbl, [cbox|tree]) — the sphere/quad
     tables are passed only when their chunk count is nonzero (scene 1 has no
     quads; the Cornell walls scene has no surface spheres), so empty kinds
@@ -394,7 +563,10 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0):
     The one-hot row gather is likewise skipped for CK chunks that hold no
     winner in the cull/bvh modes.
     """
-    n_all_chunks = n_sph_chunks + n_quad_chunks
+    # chunks of the JOINED shading table (always spans every sphere+quad
+    # column, independent of which coefficient path found the winner)
+    n_all_chunks = (n_join_chunks if n_join_chunks is not None
+                    else n_sph_chunks + n_quad_chunks)
     n_sph_sub = n_sph_chunks * (CK // CL)
     n_quad_sub = n_quad_chunks * (CK // CL)
     cull = accel == "cull"
@@ -404,6 +576,9 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0):
         rays_ref = next(it)
         sph_ref = next(it) if n_sph_chunks else None
         quad_ref = next(it) if n_quad_chunks else None
+        gen_ref = next(it) if n_gen_sub else None
+        gen_ids_ref = next(it) if n_gen_sub else None
+        aaq_ref = next(it) if aaq_groups else None
         tbl_ref = next(it)
         cbox_ref = next(it) if cull else None
         tree_ref = next(it) if accel == "bvh" else None
@@ -586,17 +761,25 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0):
                 best_t, best_i = jax.lax.fori_loop(0, n_sph_sub, sph_body,
                                                    (best_t, best_i))
         else:
-            def sph_body(k, carry):
-                bt, bi = carry
-                ct, ci = _sphere_chunk_best(sph_ref, k * 2 * CK, CK // CL,
-                                            B, a, t_min_a)
-                better = ct < bt
-                return (jnp.where(better, ct, bt),
-                        jnp.where(better, ci + k * CK, bi))
-
+            # unrolled per-chunk dots + pairwise merge: each CK-chunk dot is
+            # independent, so the MXU pipelines across chunks instead of
+            # serializing on a loop-carried closest-t merge
             if n_sph_chunks:
-                best_t, best_i = jax.lax.fori_loop(0, n_sph_chunks, sph_body,
-                                                   (best_t, best_i))
+                cand = [_sphere_chunk_best(sph_ref, k * 2 * CK, CK // CL,
+                                           B, a, t_min_a)
+                        for k in range(n_sph_chunks)]
+                cand = [(ct, ci + k * CK) for k, (ct, ci) in enumerate(cand)]
+                while len(cand) > 1:
+                    nxt = []
+                    for j in range(0, len(cand) - 1, 2):
+                        (t0, i0), (t1, i1) = cand[j], cand[j + 1]
+                        b = t1 < t0
+                        nxt.append((jnp.where(b, t1, t0),
+                                    jnp.where(b, i1, i0)))
+                    if len(cand) % 2:
+                        nxt.append(cand[-1])
+                    cand = nxt
+                best_t, best_i = cand[0]
 
         best_t = jnp.where(best_t >= BIG, BIG, best_t * inv_a)
 
@@ -621,17 +804,54 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0):
 
             if n_quad_chunks:
                 qt, qi = jax.lax.fori_loop(0, n_quad_sub, quad_body, (qt, qi))
+        elif aaq_groups or n_gen_sub:
+            # axis-aligned fast path: VPU broadcast tests per orientation
+            # group + a compacted matmul table for general-orientation
+            # quads; candidate ids are original registry rows, and the
+            # lexicographic (t, id) merge reproduces the reference's
+            # registry-ordered strict-< closest hit exactly.
+            ro_c = (rox, roy, roz)
+            rd_c = (rdx, rdy, rdz)
+            tiny8 = 1e-8
+            mask_c = tuple(jnp.abs(c) >= tiny8 for c in rd_c)
+            ird_c = tuple(1.0 / jnp.where(m, c, 1.0)
+                          for m, c in zip(mask_c, rd_c))
+            cand = []
+            if n_gen_sub:
+                cand.append(_quad_gen_best(gen_ref, gen_ids_ref, n_gen_sub,
+                                           B, t_min))
+            for desc in aaq_groups:
+                cand.append(_aaq_group_best(aaq_ref, desc, ro_c, rd_c,
+                                            ird_c, mask_c, t_min))
+            while len(cand) > 1:
+                nxt = []
+                for j in range(0, len(cand) - 1, 2):
+                    (t0, i0), (t1, i1) = cand[j], cand[j + 1]
+                    b = (t1 < t0) | ((t1 == t0) & (t1 < BIG) & (i1 < i0))
+                    nxt.append((jnp.where(b, t1, t0),
+                                jnp.where(b, i1, i0)))
+                if len(cand) % 2:
+                    nxt.append(cand[-1])
+                cand = nxt
+            qt, qi_f = cand[0]
+            qi = qi_f.astype(jnp.int32)
         else:
-            def quad_body(k, carry):
-                bt, bi = carry
-                ct, ci = _quad_chunk_best(quad_ref, k * 6 * CK, CK // CL,
-                                          B, t_min)
-                better = ct < bt
-                return (jnp.where(better, ct, bt),
-                        jnp.where(better, ci + k * CK, bi))
-
             if n_quad_chunks:
-                qt, qi = jax.lax.fori_loop(0, n_quad_chunks, quad_body, (qt, qi))
+                cand = [_quad_chunk_best(quad_ref, k * 6 * CK, CK // CL,
+                                         B, t_min)
+                        for k in range(n_quad_chunks)]
+                cand = [(ct, ci + k * CK) for k, (ct, ci) in enumerate(cand)]
+                while len(cand) > 1:
+                    nxt = []
+                    for j in range(0, len(cand) - 1, 2):
+                        (t0, i0), (t1, i1) = cand[j], cand[j + 1]
+                        b = t1 < t0
+                        nxt.append((jnp.where(b, t1, t0),
+                                    jnp.where(b, i1, i0)))
+                    if len(cand) % 2:
+                        nxt.append(cand[-1])
+                    cand = nxt
+                qt, qi = cand[0]
 
         q_better = qt < best_t        # sphere wins ties (world.cuh order)
         t = jnp.where(q_better, qt, best_t)
@@ -673,11 +893,15 @@ def _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx, *,
             present = jnp.any(hit & (gidx >= lo) & (gidx < lo + CK))
             return jax.lax.cond(present, lambda a: row_chunk(k, a),
                                 lambda a: a, acc)
-    else:
-        row_body = row_chunk
 
-    row = jax.lax.fori_loop(0, n_all_chunks, row_body,
-                            jnp.zeros((ROW_K, TR), jnp.float32))
+        row = jax.lax.fori_loop(0, n_all_chunks, row_body,
+                                jnp.zeros((ROW_K, TR), jnp.float32))
+    else:
+        # unrolled: the per-chunk one-hot dots are independent adds, so the
+        # MXU pipelines them (a fori_loop would serialize on the accumulator)
+        row = jnp.zeros((ROW_K, TR), jnp.float32)
+        for k in range(n_all_chunks):
+            row = row_chunk(k, row)
     row_ref[:, :] = jnp.concatenate(
         [row[:ROW_T], t, kind.astype(jnp.float32),
          idx.astype(jnp.float32),
@@ -686,25 +910,44 @@ def _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_sph_chunks", "n_quad_chunks",
-                                    "t_min", "accel", "interpret"))
-def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
-                 n_quad_chunks, t_min, accel, interpret=False):
+                                    "t_min", "accel", "interpret",
+                                    "aaq_groups"))
+def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
+                 aaq_tbl, *, n_sph_chunks, n_quad_chunks, t_min, accel,
+                 interpret=False, aaq_groups=()):
     R = rays.shape[1]
     grid = R // TR
     out_shape = [
         jax.ShapeDtypeStruct((ROW_K, R), jnp.float32),
     ]
     tree_L = cbox.shape[0] // 2 if accel == "bvh" else 0
-    kernel = _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L)
+    n_gen_sub = gen_tbl.shape[0] // (6 * CL) if aaq_groups else 0
+    n_join = joined_tbl.shape[1] // CK
+    # in aaq mode the full quad coefficient table is not a kernel operand
+    n_qc = 0 if aaq_groups else n_quad_chunks
+    kernel = _make_kernel(n_sph_chunks, n_qc, t_min, accel, tree_L,
+                          n_gen_sub=n_gen_sub, aaq_groups=aaq_groups,
+                          n_join_chunks=n_join)
     operands = [rays]
     in_specs = [pl.BlockSpec((8, TR), lambda i: (0, i), memory_space=pltpu.VMEM)]
     if n_sph_chunks:
         operands.append(sph_tbl)
         in_specs.append(pl.BlockSpec(sph_tbl.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    if n_quad_chunks:
+    if n_qc:
         operands.append(quad_tbl)
         in_specs.append(pl.BlockSpec(quad_tbl.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if n_gen_sub:
+        operands.append(gen_tbl)
+        in_specs.append(pl.BlockSpec(gen_tbl.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gen_ids.reshape(-1, 1))
+        in_specs.append(pl.BlockSpec((gen_ids.shape[0], 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if aaq_groups:
+        operands.append(aaq_tbl)
+        in_specs.append(pl.BlockSpec(aaq_tbl.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     operands.append(joined_tbl)
     in_specs.append(pl.BlockSpec(joined_tbl.shape, lambda i: (0, 0),
@@ -723,6 +966,10 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, *, n_sph_chunks,
         out_shape=out_shape,
         scratch_shapes=([pltpu.SMEM((_STACK,), jnp.int32)]
                         if accel == "bvh" else []),
+        # the unrolled per-chunk dots keep several (6*CK, TR) coefficient
+        # products alive so the MXU can pipeline them; that needs more than
+        # the 16 MiB default scoped-vmem allowance (v5e has 128 MiB VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(*operands)
     return (row[ROW_T], row[ROW_KIND].astype(jnp.int32),
@@ -774,17 +1021,23 @@ def _t_winner(rays, hrow, crow, qrow, kind, t_min, has_s, has_q):
 
 
 @functools.lru_cache(maxsize=None)
-def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret):
+def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret,
+                     aaq_groups=()):
     kw = dict(n_sph_chunks=n_sph_chunks, n_quad_chunks=n_quad_chunks,
-              t_min=t_min, accel=accel, interpret=interpret)
+              t_min=t_min, accel=accel, interpret=interpret,
+              aaq_groups=aaq_groups)
 
-    def run(rays, sph_tbl, quad_tbl, joined_tbl, cbox):
-        return _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, **kw)
+    def run(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
+            aaq_tbl):
+        return _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox,
+                            gen_tbl, gen_ids, aaq_tbl, **kw)
 
     f = jax.custom_vjp(run)
 
-    def fwd(rays, sph_tbl, quad_tbl, joined_tbl, cbox):
-        out = run(rays, sph_tbl, quad_tbl, joined_tbl, cbox)
+    def fwd(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
+            aaq_tbl):
+        out = run(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl,
+                  gen_ids, aaq_tbl)
         t, kind, idx, _row = out
         return out, (rays, sph_tbl, quad_tbl, t, kind, idx)
 
@@ -845,7 +1098,10 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret):
         d_joined = jnp.zeros((ROW_K, n_cols), jnp.float32)
         d_joined = d_joined.at[:, gidx].add(drow_m, mode="drop")
 
-        return d_rays, d_sph, d_quad, d_joined, None
+        # gen/aaq fast-path tables are forward-only re-expressions of the
+        # quad rows (stop_gradient'ed); all quad gradients flow through
+        # d_quad above, exactly as in the matmul-only formulation
+        return d_rays, d_sph, d_quad, d_joined, None, None, None, None
 
     f.defvjp(fwd, bwd)
     return f
@@ -860,12 +1116,16 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
     misses, best_kind [R], best_idx [R], row_t [32, R]).  Rays are padded
     to a TR multiple internally.
 
-    ``accel`` selects the in-kernel acceleration: "none" (brute force),
-    "cull" (linear scan with per-sub-cluster any-lane AABB guards), or
-    "bvh" (packet traversal of the implicit cluster heap — the default
-    above one CK chunk of primitives; below it the guard overhead beats
-    the savings, measured on scene 1's 485 spheres).  ``cull`` is the
-    deprecated bool alias (True -> "cull", False -> "none").
+    ``accel`` selects the in-kernel acceleration: "none" (brute-force MXU
+    scan, with axis-aligned quads — box/wall geometry — routed through a
+    matmul-free VPU fast path), "cull" (linear scan with per-sub-cluster
+    any-lane AABB guards), or "bvh" (packet traversal of the implicit
+    cluster heap).  Auto policy: "none" up to 8192 primitives — measured
+    fastest through final_scene's 3.4k prims, where incoherent bounced-ray
+    packets defeat any-lane pruning (every cluster is reachable by some
+    lane) — and "bvh" beyond, where linear cost must eventually lose to
+    pruning.  ``cull`` is the deprecated bool alias (True -> "cull",
+    False -> "none").
     """
     from .vec import V3
     if not isinstance(ro, V3):
@@ -883,7 +1143,14 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
         if cull is not None:
             accel = "cull" if cull else "none"
         else:
-            accel = "bvh" if n_prims > CK else "none"
+            accel = "none" if n_prims <= 8192 else "bvh"
+    aaq_groups = ()
+    gen_tbl = jnp.zeros((0, K_LIN), jnp.float32)
+    gen_ids = jnp.zeros((0,), jnp.float32)
+    aaq_tbl = jnp.zeros((0, AAQ_K), jnp.float32)
+    if accel == "none" and meta.n_quads and aaq_groups_of(meta):
+        aaq_tbl, aaq_groups = pack_aaq(data, meta)
+        gen_tbl, gen_ids = pack_quads_general(data, meta, qf)
     if accel == "bvh":
         cbox = cluster_tree(cluster_boxes(data, meta, qf))
     elif accel == "cull":
@@ -892,7 +1159,9 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
         cbox = None
     fn = _closest_hit_vjp(sph_tbl.shape[0] // (2 * CK),
                           quad_tbl.shape[0] // (6 * CK),
-                          float(t_min), str(accel), bool(interpret))
-    t, kind, idx, row = fn(rays, sph_tbl, quad_tbl, joined, cbox)
+                          float(t_min), str(accel), bool(interpret),
+                          aaq_groups)
+    t, kind, idx, row = fn(rays, sph_tbl, quad_tbl, joined, cbox,
+                           gen_tbl, gen_ids, aaq_tbl)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]

@@ -140,6 +140,15 @@ class SceneMeta:
     lights: tuple            # tuple[LightMeta]; empty = no light sampling
     use_bvh: bool            # reference bvh_mode (world.cuh:118-120)
     n_bvh_leaf_spheres: int  # spheres covered by BVHs (skipped in brute loop)
+    # Per-quad axis-orientation class (len n_quads): u_axis*3 + v_axis for
+    # surface quads whose u and v each lie exactly along one (distinct)
+    # coordinate axis — the box/wall quads every reference scene is mostly
+    # built from — else 9 (general orientation / non-surface).  Static, so
+    # the Pallas kernel can route axis-aligned quads through a matmul-free
+    # VPU fast path (pallas_intersect.pack_aaq); classification is pinned
+    # at compile like BVH topology (gradients keep flowing through the
+    # general-formulation tables, which the custom VJP recomputes from).
+    aaq_class: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -628,6 +637,23 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
     tex_noise_scale = np.array(w.tex_noise_scale or [0.0], np.float32)
     tex_image_id = np.array(w.tex_image_id or [0], np.int32)
 
+    # Axis-orientation class per quad (SceneMeta.aaq_class): exact-zero
+    # component tests — baked rotations produce generic vectors and stay on
+    # the general path; box/wall builders produce exact axis vectors.
+    def _axis_of(vec):
+        nz = [a for a in range(3) if float(vec[a]) != 0.0]
+        return nz[0] if len(nz) == 1 else None
+
+    aaq_class = []
+    for q_i in range(nq):
+        u_ax = _axis_of(fl.out_quads[q_i][1])
+        v_ax = _axis_of(fl.out_quads[q_i][2])
+        if (fl.quad_surface[q_i] and u_ax is not None and v_ax is not None
+                and u_ax != v_ax):
+            aaq_class.append(u_ax * 3 + v_ax)
+        else:
+            aaq_class.append(9)
+
     media_meta = tuple(MediumMeta(srows, qrows, mrow)
                        for srows, qrows, mrow, _d in fl.media_meta)
     med_nid = np.array([-1.0 / m[3] for m in fl.media_meta] or [0.0], np.float32)
@@ -662,5 +688,6 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         n_images=len(w.images), n_noise=w.n_noise_tex,
         media=media_meta, lights=tuple(lights),
         use_bvh=bvh_mode, n_bvh_leaf_spheres=n_bvh_leaf_spheres,
+        aaq_class=tuple(aaq_class),
     )
     return data, meta

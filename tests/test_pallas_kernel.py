@@ -140,6 +140,43 @@ def test_bvh_parity_spread_spheres():
     _check_parity(w, accel="bvh", spread=30.0)
 
 
+def test_aaq_fast_path_parity():
+    """Axis-aligned quads (box/wall geometry) take the matmul-free VPU fast
+    path in accel="none"; mixed with rotated (general-orientation) boxes and
+    spheres, closest-hit (t, kind, idx) must match the XLA intersector —
+    including registry-order ties between the three candidate routes."""
+    rng = np.random.RandomState(2)
+    w = World()
+    m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    for _ in range(8):
+        lo = rng.uniform(-8, 6, 3)
+        w.box(lo, lo + rng.uniform(1, 3, 3), m)
+    w.rotated_box([1, 2, 1], [4, 0, -2], 30, m)     # general path
+    w.rotated_box([2, 1, 2], [-5, 0, 3], -20, m)
+    for _ in range(6):
+        w.sphere(rng.randn(3) * 4, 0.5 + rng.rand(), m)
+    data, meta = w.compile()
+    n_aaq = sum(1 for c in meta.aaq_class if c != 9)
+    n_gen = sum(1 for c in meta.aaq_class if c == 9)
+    assert n_aaq >= 48 and n_gen >= 12, (n_aaq, n_gen)
+    _check_parity(w, accel="none")
+
+
+def test_aaq_only_scene_parity():
+    """Pure axis-aligned scene (no general quads at all): the compacted
+    general table is empty and every quad candidate comes from the VPU
+    path."""
+    rng = np.random.RandomState(7)
+    w = World()
+    m = w.lambertian(w.solid_color([0.6, 0.4, 0.3]))
+    for _ in range(10):
+        lo = rng.uniform(-8, 6, 3)
+        w.box(lo, lo + rng.uniform(1, 4, 3), m)
+    data, meta = w.compile()
+    assert all(c != 9 for c in meta.aaq_class)
+    _check_parity(w, accel="none")
+
+
 def test_all_miss():
     w = World()
     m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
