@@ -197,10 +197,11 @@ _AQ_LIVE = 6      # 1.0 for real rows, 0.0 for padding
 
 def aaq_groups_of(meta):
     """Static (class -> row list) grouping of axis-aligned surface quads
-    (SceneMeta.aaq_class; 9 = general path)."""
+    (SceneMeta.aaq_class; 9 = general path, -2 = covered by a closed box
+    and tested via the slab fast path instead)."""
     groups = {}
     for row, c in enumerate(meta.aaq_class):
-        if c != 9:
+        if 0 <= c <= 8:
             groups.setdefault(c, []).append(row)
     return groups
 
@@ -240,6 +241,42 @@ def pack_aaq(data, meta):
         descs.append((start, npad, k, i, j))
         start += npad
     return jax.lax.stop_gradient(jnp.concatenate(parts, axis=0)), tuple(descs)
+
+
+AAB_K = 16        # columns of the axis-aligned-box table
+# cols 0-2: lo xyz; 3-5: hi xyz; 6-11: face quad rows in
+# (lo_x, hi_x, lo_y, hi_y, lo_z, hi_z) order (float32-exact, < 2^24);
+# col 12: 1.0 for real rows, 0.0 padding
+
+
+def pack_aab(data, meta):
+    """Closed axis-aligned-box slab table (forward-only; stop_gradient'ed —
+    the custom VJP recomputes winners from the general quad coefficient
+    rows, so gradient semantics are identical to the per-face path).
+
+    One row per SceneMeta.aab box: [lo, hi] derived in-trace from the face
+    quads' plane coordinates, plus the six face rows so the winning slab
+    resolves to the exact registry row the per-face merge would have
+    produced (the entry — or, for inside origins, exit — slab IS the
+    closest face hit of a closed box).  Padded to 8 rows.
+    """
+    if not meta.aab:
+        return jnp.zeros((0, AAB_K), jnp.float32)
+    rows = np.asarray(meta.aab, np.int32)          # [n, 6]
+    n = rows.shape[0]
+    cols = []
+    for k in range(3):
+        cols.append(data.quad_Q[rows[:, 2 * k], k])        # lo_k
+    for k in range(3):
+        cols.append(data.quad_Q[rows[:, 2 * k + 1], k])    # hi_k
+    for f in range(6):
+        cols.append(jnp.asarray(rows[:, f], jnp.float32))
+    cols.append(jnp.ones(n, jnp.float32))
+    cols += [jnp.zeros(n, jnp.float32)] * (AAB_K - len(cols))
+    tbl = jnp.stack(cols, axis=1)
+    npad = _round_up(n, 8)
+    tbl = jnp.pad(tbl, ((0, npad - n), (0, 0)))
+    return jax.lax.stop_gradient(tbl)
 
 
 def pack_quads_general(data, meta, qf):
@@ -538,8 +575,54 @@ def _aaq_group_best(aaq_ref, desc, ro_c, rd_c, ird_c, mask_c, t_min):
     return _min_with_ids(jnp.where(valid, t, BIG), ids)
 
 
+def _aab_best(aab_ref, n_box, ro_c, rd_c, ird_c, mask_c, t_min):
+    """Closest face of the closed axis-aligned boxes, as one slab test.
+
+    For a closed box the per-face quad merge reduces to: the entry slab
+    (t_enter > t_min) or, for origins inside the box, the exit slab — the
+    same arithmetic per axis as the aaq face test, so candidates agree
+    with the per-face path.  Axes with |rd_k| < 1e-8 mirror the per-face
+    denominator guard: their faces cannot win and their window constrains
+    by containment of the origin.  ~40 VPU broadcast ops per (box, ray)
+    versus ~110 for six independent window tests.
+    """
+    tbl = aab_ref[pl.ds(0, n_box), :]
+    live = tbl[:, 12:13] > 0.0
+    mns, mxs, flo, fhi = [], [], [], []
+    for k in range(3):
+        lo = tbl[:, k:k + 1]
+        hi = tbl[:, 3 + k:4 + k]
+        t0 = (lo - ro_c[k]) * ird_c[k]
+        t1 = (hi - ro_c[k]) * ird_c[k]
+        mn = jnp.minimum(t0, t1)
+        mx = jnp.maximum(t0, t1)
+        inside = (ro_c[k] >= lo) & (ro_c[k] <= hi)
+        mns.append(jnp.where(mask_c[k], mn, jnp.where(inside, -BIG, BIG)))
+        mxs.append(jnp.where(mask_c[k], mx, jnp.where(inside, BIG, -BIG)))
+        flo.append(tbl[:, 6 + 2 * k:7 + 2 * k])
+        fhi.append(tbl[:, 7 + 2 * k:8 + 2 * k])
+    t_en = jnp.maximum(jnp.maximum(mns[0], mns[1]), mns[2])
+    t_ex = jnp.minimum(jnp.minimum(mxs[0], mxs[1]), mxs[2])
+    use_en = t_en > t_min
+    t_hit = jnp.where(use_en, t_en, t_ex)
+    valid = live & (t_en <= t_ex) & (t_hit > t_min)
+
+    def pick(t_star, slabs, lo_when_pos):
+        # face identity: the axis achieving t_star; rays moving +k enter
+        # through the lo_k face and exit through hi_k (and vice versa)
+        fid = jnp.where((rd_c[0] > 0) == lo_when_pos, flo[0], fhi[0])
+        for k in (1, 2):
+            fk = jnp.where((rd_c[k] > 0) == lo_when_pos, flo[k], fhi[k])
+            fid = jnp.where(t_star == slabs[k], fk, fid)
+        return fid
+
+    ids = jnp.where(use_en, pick(t_en, mns, True), pick(t_ex, mxs, False))
+    ids = jnp.where(valid, ids, jnp.float32(2.0e9))
+    return _min_with_ids(jnp.where(valid, t_hit, BIG), ids)
+
+
 def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
-                 n_gen_sub=0, aaq_groups=(), n_join_chunks=None):
+                 n_gen_sub=0, aaq_groups=(), n_aab=0, n_join_chunks=None):
     """Kernel over (rays, [sph], [quad], tbl, [cbox|tree]) — the sphere/quad
     tables are passed only when their chunk count is nonzero (scene 1 has no
     quads; the Cornell walls scene has no surface spheres), so empty kinds
@@ -579,6 +662,7 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
         gen_ref = next(it) if n_gen_sub else None
         gen_ids_ref = next(it) if n_gen_sub else None
         aaq_ref = next(it) if aaq_groups else None
+        aab_ref = next(it) if n_aab else None
         tbl_ref = next(it)
         cbox_ref = next(it) if cull else None
         tree_ref = next(it) if accel == "bvh" else None
@@ -804,12 +888,13 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
 
             if n_quad_chunks:
                 qt, qi = jax.lax.fori_loop(0, n_quad_sub, quad_body, (qt, qi))
-        elif aaq_groups or n_gen_sub:
-            # axis-aligned fast path: VPU broadcast tests per orientation
-            # group + a compacted matmul table for general-orientation
-            # quads; candidate ids are original registry rows, and the
-            # lexicographic (t, id) merge reproduces the reference's
-            # registry-ordered strict-< closest hit exactly.
+        elif aaq_groups or n_gen_sub or n_aab:
+            # axis-aligned fast path: one slab test per closed box, VPU
+            # broadcast tests per quad orientation group, and a compacted
+            # matmul table for general-orientation quads; candidate ids are
+            # original registry rows, and the lexicographic (t, id) merge
+            # reproduces the reference's registry-ordered strict-< closest
+            # hit exactly.
             ro_c = (rox, roy, roz)
             rd_c = (rdx, rdy, rdz)
             tiny8 = 1e-8
@@ -820,6 +905,9 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
             if n_gen_sub:
                 cand.append(_quad_gen_best(gen_ref, gen_ids_ref, n_gen_sub,
                                            B, t_min))
+            if n_aab:
+                cand.append(_aab_best(aab_ref, n_aab, ro_c, rd_c, ird_c,
+                                      mask_c, t_min))
             for desc in aaq_groups:
                 cand.append(_aaq_group_best(aaq_ref, desc, ro_c, rd_c,
                                             ird_c, mask_c, t_min))
@@ -913,21 +1001,24 @@ def _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx, *,
                                     "t_min", "accel", "interpret",
                                     "aaq_groups"))
 def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
-                 aaq_tbl, *, n_sph_chunks, n_quad_chunks, t_min, accel,
-                 interpret=False, aaq_groups=()):
+                 aaq_tbl, aab_tbl, *, n_sph_chunks, n_quad_chunks, t_min,
+                 accel, interpret=False, aaq_groups=()):
     R = rays.shape[1]
     grid = R // TR
     out_shape = [
         jax.ShapeDtypeStruct((ROW_K, R), jnp.float32),
     ]
     tree_L = cbox.shape[0] // 2 if accel == "bvh" else 0
-    n_gen_sub = gen_tbl.shape[0] // (6 * CL) if aaq_groups else 0
+    n_aab = aab_tbl.shape[0]
+    fastq = bool(aaq_groups) or n_aab > 0
+    n_gen_sub = gen_tbl.shape[0] // (6 * CL) if fastq else 0
     n_join = joined_tbl.shape[1] // CK
-    # in aaq mode the full quad coefficient table is not a kernel operand
-    n_qc = 0 if aaq_groups else n_quad_chunks
+    # in fast-quad mode the full quad coefficient table is not a kernel
+    # operand
+    n_qc = 0 if fastq else n_quad_chunks
     kernel = _make_kernel(n_sph_chunks, n_qc, t_min, accel, tree_L,
                           n_gen_sub=n_gen_sub, aaq_groups=aaq_groups,
-                          n_join_chunks=n_join)
+                          n_aab=n_aab, n_join_chunks=n_join)
     operands = [rays]
     in_specs = [pl.BlockSpec((8, TR), lambda i: (0, i), memory_space=pltpu.VMEM)]
     if n_sph_chunks:
@@ -948,6 +1039,10 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
     if aaq_groups:
         operands.append(aaq_tbl)
         in_specs.append(pl.BlockSpec(aaq_tbl.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if n_aab:
+        operands.append(aab_tbl)
+        in_specs.append(pl.BlockSpec(aab_tbl.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     operands.append(joined_tbl)
     in_specs.append(pl.BlockSpec(joined_tbl.shape, lambda i: (0, 0),
@@ -1028,16 +1123,16 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret,
               aaq_groups=aaq_groups)
 
     def run(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
-            aaq_tbl):
+            aaq_tbl, aab_tbl):
         return _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox,
-                            gen_tbl, gen_ids, aaq_tbl, **kw)
+                            gen_tbl, gen_ids, aaq_tbl, aab_tbl, **kw)
 
     f = jax.custom_vjp(run)
 
     def fwd(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
-            aaq_tbl):
+            aaq_tbl, aab_tbl):
         out = run(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl,
-                  gen_ids, aaq_tbl)
+                  gen_ids, aaq_tbl, aab_tbl)
         t, kind, idx, _row = out
         return out, (rays, sph_tbl, quad_tbl, t, kind, idx)
 
@@ -1098,10 +1193,10 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret,
         d_joined = jnp.zeros((ROW_K, n_cols), jnp.float32)
         d_joined = d_joined.at[:, gidx].add(drow_m, mode="drop")
 
-        # gen/aaq fast-path tables are forward-only re-expressions of the
-        # quad rows (stop_gradient'ed); all quad gradients flow through
+        # gen/aaq/aab fast-path tables are forward-only re-expressions of
+        # the quad rows (stop_gradient'ed); all quad gradients flow through
         # d_quad above, exactly as in the matmul-only formulation
-        return d_rays, d_sph, d_quad, d_joined, None, None, None, None
+        return d_rays, d_sph, d_quad, d_joined, None, None, None, None, None
 
     f.defvjp(fwd, bwd)
     return f
@@ -1148,9 +1243,11 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
     gen_tbl = jnp.zeros((0, K_LIN), jnp.float32)
     gen_ids = jnp.zeros((0,), jnp.float32)
     aaq_tbl = jnp.zeros((0, AAQ_K), jnp.float32)
-    if accel == "none" and meta.n_quads and aaq_groups_of(meta):
+    aab_tbl = jnp.zeros((0, AAB_K), jnp.float32)
+    if accel == "none" and meta.n_quads and (aaq_groups_of(meta) or meta.aab):
         aaq_tbl, aaq_groups = pack_aaq(data, meta)
         gen_tbl, gen_ids = pack_quads_general(data, meta, qf)
+        aab_tbl = pack_aab(data, meta)
     if accel == "bvh":
         cbox = cluster_tree(cluster_boxes(data, meta, qf))
     elif accel == "cull":
@@ -1162,6 +1259,6 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
                           float(t_min), str(accel), bool(interpret),
                           aaq_groups)
     t, kind, idx, row = fn(rays, sph_tbl, quad_tbl, joined, cbox,
-                           gen_tbl, gen_ids, aaq_tbl)
+                           gen_tbl, gen_ids, aaq_tbl, aab_tbl)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]

@@ -148,7 +148,16 @@ class SceneMeta:
     # VPU fast path (pallas_intersect.pack_aaq); classification is pinned
     # at compile like BVH topology (gradients keep flowing through the
     # general-formulation tables, which the custom VJP recomputes from).
+    # Class -2 marks quads covered by a closed axis-aligned box (``aab``),
+    # tested as one slab test instead of six window tests.
     aaq_class: tuple = ()
+    # Closed axis-aligned boxes detected at compile (the box() builder's six
+    # quads, utils.h:51-67): per box, the quad-table rows of its six faces in
+    # (lo_x, hi_x, lo_y, hi_y, lo_z, hi_z) order.  The kernel's slab test
+    # over [lo, hi] is exactly the per-face quad test union for a closed box
+    # (the winning face is the entry — or, for origins inside, exit — slab),
+    # at ~1/3 the VPU ops of six independent window tests.
+    aab: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +515,84 @@ class _Flattener:
             raise ValueError(f"unknown object kind {h.kind}")
 
 
+def _detect_aab(out_quads, aaq_class):
+    """Detect closed axis-aligned boxes among the axis-aligned surface quads.
+
+    A box is six faces whose planes/windows tile [lo, hi] — the structure
+    the box() builder emits (utils.h:51-67).  Plane coordinates (Q[k]) are
+    construction-exact, but window ends are float roundtrips (Q[a] + u[a]),
+    so each window end is snapped to the nearest perpendicular plane
+    coordinate before exact-equality grouping.  Covered rows are marked
+    aaq_class -2 in place; returns a tuple of per-box 6-tuples of quad rows
+    in (lo_x, hi_x, lo_y, hi_y, lo_z, hi_z) face order.
+    """
+    faces = []    # (row, k, d, ext) with ext the per-axis window intervals
+    plane_coords = [[], [], []]
+    for row, c in enumerate(aaq_class):
+        if not (0 <= c <= 8):
+            continue
+        u_ax, v_ax = c // 3, c % 3
+        k = 3 - u_ax - v_ax
+        Q, u, v = out_quads[row][0], out_quads[row][1], out_quads[row][2]
+        ext = [None, None, None]
+        ext[k] = float(Q[k])
+        ext[u_ax] = tuple(sorted((float(Q[u_ax]), float(Q[u_ax] + u[u_ax]))))
+        ext[v_ax] = tuple(sorted((float(Q[v_ax]), float(Q[v_ax] + v[v_ax]))))
+        faces.append((row, k, float(Q[k]), ext))
+        plane_coords[k].append(float(Q[k]))
+
+    coords = [np.unique(np.asarray(c, np.float64)) for c in plane_coords]
+
+    def snap(axis, w):
+        c = coords[axis]
+        if c.size == 0:
+            return w
+        i = np.searchsorted(c, w)
+        best = w
+        for j in (i - 1, i):
+            if 0 <= j < c.size and abs(c[j] - w) <= 1e-3 + 1e-5 * abs(c[j]):
+                best = float(c[j])
+        return best
+
+    # face_lookup[(k, w_a, w_b, d)] -> row, where a < b are the non-plane
+    # axes and w_* their snapped window intervals
+    face_lookup = {}
+    x_pairs = {}     # (w_y, w_z) -> list of (d, row) for plane-axis-0 faces
+    for row, k, d, ext in faces:
+        ext = [ext[a] if a == k else (snap(a, ext[a][0]), snap(a, ext[a][1]))
+               for a in range(3)]
+        a, b = [ax for ax in range(3) if ax != k]
+        face_lookup.setdefault((k, ext[a], ext[b], d), row)
+        if k == 0:
+            x_pairs.setdefault((ext[1], ext[2]), []).append((d, row))
+
+    used = set()
+    boxes = []
+    for (wy, wz), ds in sorted(x_pairs.items()):
+        if wy[0] >= wy[1] or wz[0] >= wz[1]:
+            continue
+        ds = sorted(set(ds))
+        for (a0, r_lo), (a1, r_hi) in zip(ds[0::2], ds[1::2]):
+            if a0 >= a1 or r_lo in used or r_hi in used:
+                continue
+            wx = (a0, a1)
+            rows = [r_lo, r_hi,
+                    face_lookup.get((1, wx, wz, wy[0])),
+                    face_lookup.get((1, wx, wz, wy[1])),
+                    face_lookup.get((2, wx, wy, wz[0])),
+                    face_lookup.get((2, wx, wy, wz[1]))]
+            if any(r is None or r in used for r in rows[2:]):
+                continue
+            if len(set(rows)) != 6:
+                continue
+            used.update(rows)
+            boxes.append(tuple(rows))
+    for box in boxes:
+        for r in box:
+            aaq_class[r] = -2
+    return tuple(boxes)
+
+
 def _pad_rows(rows, width, pad_row, mult=8):
     n = len(rows)
     n_pad = max(mult, -(-max(n, 1) // mult) * mult)
@@ -654,6 +741,15 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         else:
             aaq_class.append(9)
 
+    # --- closed axis-aligned boxes (SceneMeta.aab) --------------------------
+    # Purely geometric detection over the axis-aligned surface quads: six
+    # faces whose planes and windows tile a closed box [lo, hi] (the exact
+    # structure the box() builder emits, utils.h:51-67; coordinates are
+    # construction-exact floats, so equality grouping is safe).  Covered
+    # rows get aaq_class -2 and are excluded from the per-face fast-path
+    # tables; the kernel tests the box with one slab test instead.
+    aab = _detect_aab(fl.out_quads, aaq_class)
+
     media_meta = tuple(MediumMeta(srows, qrows, mrow)
                        for srows, qrows, mrow, _d in fl.media_meta)
     med_nid = np.array([-1.0 / m[3] for m in fl.media_meta] or [0.0], np.float32)
@@ -689,5 +785,6 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         media=media_meta, lights=tuple(lights),
         use_bvh=bvh_mode, n_bvh_leaf_spheres=n_bvh_leaf_spheres,
         aaq_class=tuple(aaq_class),
+        aab=aab,
     )
     return data, meta

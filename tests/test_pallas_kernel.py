@@ -177,6 +177,80 @@ def test_aaq_only_scene_parity():
     _check_parity(w, accel="none")
 
 
+def test_aab_detection():
+    """box() sextets compile to SceneMeta.aab slab entries; rotated boxes
+    (general orientation) and lone quads don't."""
+    rng = np.random.RandomState(5)
+    w = World()
+    m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    for _ in range(6):
+        lo = rng.uniform(-50, 50, 3)
+        w.box(lo, lo + rng.uniform(2, 30, 3), m)
+    w.rotated_box([1, 2, 1], [4, 0, -2], 30, m)
+    w.quad([0, 99, 0], [10, 0, 0], [0, 0, 10], m)
+    data, meta = w.compile()
+    assert len(meta.aab) == 6
+    covered = sum(1 for c in meta.aaq_class if c == -2)
+    assert covered == 36
+    # every face row appears exactly once, and lo/hi planes are consistent
+    rows = [r for box in meta.aab for r in box]
+    assert len(rows) == len(set(rows))
+    import numpy as _np
+    Q = _np.asarray(data.quad_Q)
+    for box in meta.aab:
+        for k in range(3):
+            assert Q[box[2 * k], k] < Q[box[2 * k + 1], k]
+
+
+def test_aab_fast_path_parity():
+    """Closed-box slab fast path: scenes dominated by box() geometry (the
+    final_scene ground grid, mort.cu:508-518) must produce identical
+    closest hits to the XLA intersector — the slab entry/exit IS the
+    per-face closest hit for a closed box (objects.cuh:190-215 semantics
+    via utils.h:51-67 construction)."""
+    rng = np.random.RandomState(11)
+    w = World()
+    m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    for i in range(4):
+        for j in range(4):
+            lo = np.array([i * 4.0 - 8.0, 0.0, j * 4.0 - 8.0])
+            w.box(lo, lo + [4.0, rng.uniform(0.5, 4.0), 4.0], m)
+    w.quad([-8, 9, -8], [6, 0, 0], [0, 0, 6], m)          # lone aaq quad
+    w.rotated_box([1, 2, 1], [0, 4, 0], 25, m)            # general quads
+    for _ in range(8):
+        w.sphere(rng.uniform(-8, 8, 3) + [0, 5, 0], 0.6 + rng.rand(), m)
+    data, meta = w.compile()
+    assert len(meta.aab) == 16
+    _check_parity(w, accel="none", spread=10.0)
+
+
+def test_aab_inside_box_parity():
+    """Rays originating inside a box must hit the exit face (the reference's
+    double-sided quads); slab path = exit slab for interior origins."""
+    w = World()
+    m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    w.box([-5, -5, -5], [5, 5, 5], m)
+    data, meta = w.compile()
+    assert len(meta.aab) == 1
+    qf = quad_frames(data)
+    table, _ = build_prim_table(data, meta, qf)
+    rng = np.random.RandomState(3)
+    n = 256
+    ro = jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32)   # inside
+    rd = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    tme = jnp.zeros(n, jnp.float32)
+    bt, bk, bi = intersect_best(data, meta, qf, ro, rd, tme,
+                                jnp.uint32(1), jnp.zeros(n, jnp.int32),
+                                jnp.zeros(n, jnp.int32), 0)
+    pt_, pk, pi, _ = pal.closest_hit_pallas(data, meta, qf, table, ro, rd,
+                                            tme, interpret=True, accel="none")
+    assert np.isfinite(np.asarray(bt)).all()     # closed box: always a hit
+    np.testing.assert_allclose(np.asarray(pt_), np.asarray(bt),
+                               rtol=3e-5, atol=1e-5)
+    assert (np.asarray(pk) == np.asarray(bk)).all()
+    assert (np.asarray(pi) == np.asarray(bi)).all()
+
+
 def test_all_miss():
     w = World()
     m = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))

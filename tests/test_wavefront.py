@@ -86,6 +86,42 @@ def test_wavefront_pallas_bvh_image():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_wavefront_pallas_aab_image():
+    """End-to-end wavefront image through the closed-box slab fast path
+    (accel="none" + SceneMeta.aab — the production route for final_scene's
+    ground-box grid, mort.cu:508-518) must match the XLA-intersector
+    wavefront."""
+    rng = np.random.RandomState(6)
+    from mort_tpu import World, make_camera
+
+    w = World()
+    ground = w.lambertian(w.solid_color([0.48, 0.83, 0.53]))
+    for i in range(4):
+        for j in range(4):
+            lo = np.array([i * 5.0 - 10.0, 0.0, j * 5.0 - 10.0])
+            w.box(lo, lo + [5.0, rng.uniform(0.5, 3.0), 5.0], ground)
+    light = w.diffuse_light(w.solid_color([7.0, 7.0, 7.0]))
+    lq = w.quad([-3, 11, -3], [6, 0, 0], [0, 0, 6], light)
+    mats = [w.lambertian(w.solid_color(rng.rand(3))),
+            w.metal(rng.rand(3), 0.3), w.dielectric(1.5)]
+    for i in range(12):
+        w.sphere([rng.uniform(-8, 8), rng.uniform(3, 7), rng.uniform(-8, 8)],
+                 0.8, mats[i % 3])
+    w.light = lq
+    data, meta = w.compile()
+    assert len(meta.aab) == 16
+    cam = make_camera(aspect_ratio=1.0, image_width=20,
+                      samples_per_pixel=1, bounce_limit=5, vfov=40,
+                      lookfrom=[14, 8, -14], lookat=[0, 2, 0],
+                      background=[0.2, 0.2, 0.25])
+    want = np.asarray(render_wavefront(data, meta, cam, seed=5,
+                                       use_pallas=False))
+    got = np.asarray(render_wavefront(data, meta, cam, seed=5,
+                                      use_pallas=True, pallas_interpret=True,
+                                      pallas_accel="none"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_cornell_mediumres_wavefront_vs_lockstep():
     """Medium-resolution (128 px) Cornell box: the chunked-respawn wavefront
     and the masked lockstep integrator are independent schedulers sharing

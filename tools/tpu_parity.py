@@ -46,6 +46,12 @@ def _cam_for(cam):
 
 
 def render_cpu_refs():
+    # JAX_PLATFORMS=cpu in the env is NOT enough here: the axon
+    # sitecustomize registers the tunneled-TPU backend at interpreter start
+    # and wins anyway; only the config route actually forces CPU.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
     import numpy as np
     from mort_tpu.render.renderer import render
     from mort_tpu.scene import scenes as sc
