@@ -31,9 +31,10 @@ import time
 
 BASELINE_PATHS_PER_S = 1200 * 675 * 100 / 16.0   # RTX 2080 anchor
 
-# Per-device-execution path budget: heavy scenes split into more, shorter
-# spans so single launches stay well under the tunneled-TPU watchdog.
-SPAN_PATHS = {1: 200_000_000, 6: 40_000_000, 7: 40_000_000, 8: 20_000_000}
+# Per-device-execution path budget: heavy scenes split into spans so single
+# launches stay under the tunneled-TPU watchdog while the wavefront's
+# end-of-span straggler tail still amortizes (tools/tune_wavefront.py).
+SPAN_PATHS = {1: 200_000_000, 6: 80_000_000, 7: 80_000_000, 8: 80_000_000}
 
 
 def _bench_scene(idx, frames, quick, span_paths=None):
@@ -183,6 +184,17 @@ def main():
     else:
         rec = _bench_scene(args.scene, args.frames, args.quick,
                            span_paths=args.span_paths)
+        if args.scene == 1:
+            # gradient-path number rides along in the default driver run
+            # (BASELINE config: forward + backward + grad psum)
+            try:
+                g = _bench_grad_step(quick=True)
+                print(f"  grad step (quick): "
+                      f"{g['grad_paths_per_s']/1e6:.2f}M paths/s "
+                      f"(fwd+bwd+psum, compile {g['compile_s']}s)",
+                      file=sys.stderr)
+            except Exception as e:                      # noqa: BLE001
+                print(f"  grad step bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"scene{rec['scene']}_paths_per_s",

@@ -130,13 +130,21 @@ def derive_basis(cam: Camera) -> CameraBasis:
     )
 
 
-def get_rays_soa(cam: Camera, basis: CameraBasis, seed, pixel_ids, sample_ids):
+def get_rays_soa(cam: Camera, basis: CameraBasis, seed, pixel_ids, sample_ids,
+                 no_defocus: bool = False):
     """Generate camera rays for flat pixel ids + stratified sample ids.
 
     pixel_id = x + y * W;  sample_id = s_i + s_j * sqrt_spp
     (camera.cuh:187-192, 210-220).  Returns (origin V3, dir V3, time [R]) in
     structure-of-arrays layout (see render/vec.py).  Directions are NOT
     normalised, as in the reference.
+
+    ``no_defocus`` (static): callers that know defocus_angle == 0 outside
+    the trace set it to skip the SLOT_CAM_LENS philox block and the disk
+    math entirely — the CPU oracle likewise ignores that block's values at
+    zero aperture, so skipping is unobservable (oracle.py:392-397), and
+    integer-multiply-heavy philox blocks are among the costliest per-bounce
+    ops on the TPU VPU.
     """
     from .render.vec import V3
 
@@ -160,6 +168,10 @@ def get_rays_soa(cam: Camera, basis: CameraBasis, seed, pixel_ids, sample_ids):
 
     # defocus_disk_sample (camera.cuh:230-234) with polar disk sampling.
     c = basis.center
+    if no_defocus:
+        zero = jnp.zeros_like(u_time)
+        origin = V3(c[0] + zero, c[1] + zero, c[2] + zero)
+        return origin, pixel_sample - origin, u_time
     d1, d2, _, _ = uniform4(seed, pixel_ids, sample_ids, 0, SLOT_CAM_LENS)
     r = jnp.sqrt(d1)
     phi = (2.0 * jnp.pi) * d2

@@ -237,6 +237,11 @@ def media_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd,
     after all surfaces with a running closest-t (see module docstring).
     ro/rd are SoA V3."""
     from . import vec as v3
+    # ONE philox block serves up to 4 media (medium m reads word m) —
+    # integer-multiply-heavy philox blocks are among the costliest
+    # per-bounce ops on the TPU VPU, and media draws are independent words.
+    u_media = rngm.uniform4(seed, pixel, sample, 1 + bounce,
+                            rngm.SLOT_MEDIUM0) if meta.media else ()
     for m, med in enumerate(meta.media):
         cands = []
         for row in med.sphere_rows:
@@ -262,7 +267,7 @@ def media_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd,
 
         ray_len = v3.length(rd)
         dist_inside = (rec2 - rec1) * ray_len
-        u_m = rngm.uniform4(seed, pixel, sample, 1 + bounce, rngm.SLOT_MEDIUM0 + m)[0]
+        u_m = u_media[m]
         # u=0 maps to log->-inf in the reference (rejected sample); floor it
         # so reverse-mode AD through rejected lanes stays finite.
         hit_dist = data.med_neg_inv_density[m] * jnp.log(jnp.maximum(u_m, 1e-37))

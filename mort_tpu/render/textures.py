@@ -64,6 +64,12 @@ def _perlin_noise(p, salt):
     randomness is the hash above instead of gathered tables — same
     algorithm, TPU-native realisation.
 
+    The corner hashes share their lattice products: (i+1)*H == i*H + H in
+    modular uint32 arithmetic, so the 8 corners need 3 multiplies + 3 adds
+    for the lattice terms (instead of 24 multiplies) + 8 avalanche mixes —
+    integer multiply chains are the TPU VPU's slowest op (measured ~40x an
+    add), and this is bit-identical to hashing each corner independently.
+
     p: [R,3] -> [R]
     """
     pf = jnp.floor(p)
@@ -72,12 +78,20 @@ def _perlin_noise(p, salt):
     ijk = pf.astype(jnp.int32)
 
     uu = uvw1 * uvw1 * (3.0 - 2.0 * uvw1)  # smoothed twice (textures.cuh:234-236)
+    hx0 = ijk[..., 0].astype(jnp.uint32) * jnp.uint32(_HX)
+    hy0 = ijk[..., 1].astype(jnp.uint32) * jnp.uint32(_HY)
+    hz0 = ijk[..., 2].astype(jnp.uint32) * jnp.uint32(_HZ)
+    hx = (hx0, hx0 + jnp.uint32(_HX))
+    hy = (hy0, hy0 + jnp.uint32(_HY))
+    hz = (hz0, hz0 + jnp.uint32(_HZ))
     accum = jnp.zeros(p.shape[:-1], p.dtype)
     for di in (0, 1):
         for dj in (0, 1):
             for dk in (0, 1):
-                h = _hash3(ijk[..., 0] + di, ijk[..., 1] + dj,
-                           ijk[..., 2] + dk, salt)
+                h = (hx[di] ^ hy[dj] ^ hz[dk]) + jnp.uint32(salt)
+                h = h ^ (h >> jnp.uint32(13))
+                h = h * jnp.uint32(_HM)
+                h = h ^ (h >> jnp.uint32(16))
                 coeff = (
                     (di * uu[..., 0] + (1 - di) * (1.0 - uu[..., 0]))
                     * (dj * uu[..., 1] + (1 - dj) * (1.0 - uu[..., 1]))
@@ -101,27 +115,52 @@ def _turbulence(p, salt, depth=7):
     return jnp.abs(accum)
 
 
+def _take_rows(arr, tid, T):
+    """Branchless small-table row lookup: arr[tid] for a table of T rows.
+
+    TPU has no vector gather unit — XLA lowers ``arr[tid]`` to a serial
+    ~1 element/cycle gather, which at a 2^17 lane pool costs more than the
+    whole shading math.  For the texture registries (T is the static number
+    of textures, single digits for every reference scene) a chain of
+    compare-selects is pure fusable VPU work.
+    """
+    out = jnp.broadcast_to(arr[0], tid.shape + arr.shape[1:])
+    for k in range(1, T):
+        sel = tid == k
+        if arr.ndim > 1:
+            sel = sel[..., None]
+        out = jnp.where(sel, arr[k], out)
+    return out
+
+
 def _base_value(data: SceneData, meta: SceneMeta, kind_arr, tid, u, v, p):
     """Evaluate non-checker textures at texture rows ``tid`` [R]."""
-    kinds = kind_arr[tid]
-    out = data.tex_color[tid]  # solid_color (textures.cuh:24-27)
+    T = len(meta.tex_kind)
+    kinds = _take_rows(kind_arr, tid, T)
+    out = _take_rows(data.tex_color, tid, T)  # solid_color (textures.cuh:24-27)
 
     if meta.n_images > 0:
-        img_ids = data.tex_image_id[tid]
+        img_ids = _take_rows(data.tex_image_id, tid, T)
         uc = jnp.clip(u, 0.0, 1.0)
         vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip V (textures.cuh:133-134)
         for img_id in range(meta.n_images):
-            img = data.images[img_id]
+            img = data.images_packed[img_id]    # [H,W] u32 (SceneData note)
             H, W = img.shape[0], img.shape[1]
             i = jnp.clip((uc * W).astype(jnp.int32), 0, W - 1)
             j = jnp.clip((vc * H).astype(jnp.int32), 0, H - 1)
-            val = img[j, i]
+            texel = img[j, i]                   # ONE gather per lane
+            val = jnp.stack(
+                [((texel >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32),
+                 ((texel >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32),
+                 (texel & jnp.uint32(0xFF)).astype(jnp.float32)],
+                axis=-1) / jnp.float32(255.0)   # f32 divide: bit-matches
+            # the u8/255 values the unpacked f32 images hold
             sel = (kinds == TEX_IMAGE) & (img_ids == img_id)
             out = jnp.where(sel[..., None], val, out)
 
     if meta.n_noise > 0:
-        noise_ids = data.tex_image_id[tid]
-        scale = data.tex_noise_scale[tid]
+        noise_ids = _take_rows(data.tex_image_id, tid, T)
+        scale = _take_rows(data.tex_noise_scale, tid, T)
         s = scale[..., None] * p
         for nid in range(meta.n_noise):
             # marble: 0.5*(1 + sin(s.z + 10*turb(s))) (textures.cuh:198-202)
@@ -147,10 +186,12 @@ def texture_value(data: SceneData, meta: SceneMeta, tid, u, v, p):
     if not has_checker:
         return _base_value(data, meta, kind_arr, tid, u, v, p)
 
-    kinds = kind_arr[tid]
-    inv_scale = data.tex_inv_scale[tid]
+    T = len(meta.tex_kind)
+    kinds = _take_rows(kind_arr, tid, T)
+    inv_scale = _take_rows(data.tex_inv_scale, tid, T)
     grid = jnp.floor(inv_scale[..., None] * p).astype(jnp.int32)
     is_even = (grid[..., 0] + grid[..., 1] + grid[..., 2]) % 2 == 0
-    child = jnp.where(is_even, data.tex_child_even[tid], data.tex_child_odd[tid])
+    child = jnp.where(is_even, _take_rows(data.tex_child_even, tid, T),
+                      _take_rows(data.tex_child_odd, tid, T))
     eff = jnp.where(kinds == TEX_CHECKER, child, tid)
     return _base_value(data, meta, kind_arr, eff, u, v, p)

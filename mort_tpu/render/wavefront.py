@@ -85,7 +85,7 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
                task_end, shard_id, *, meta: SceneMeta, pool: int, chunk: int,
                window: int, use_pallas: bool, spt: int, per: int,
                n_shards: int, pallas_interpret: bool = False,
-               pallas_accel=None):
+               pallas_accel=None, no_defocus: bool = False):
     """Run the wavefront over local chunk-tasks [task_start, task_end);
     accumulate into fb (donated).  Splitting a render across calls keeps
     single device executions short (the tunneled TPU kills very long
@@ -157,7 +157,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         Lsum = Lsum + v3.where(path_done, L, 0.0)
         more = path_done & (sample + 1 < send)
         sample = jnp.where(more, sample + 1, sample)
-        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, gpix, sample)
+        ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, gpix, sample,
+                                       no_defocus=no_defocus)
         ro = v3.where(more, ro_n, ro)
         rd = v3.where(more, rd_n, rd)
         tme = jnp.where(more, t_n, tme)
@@ -201,7 +202,7 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         sample = jnp.where(has, s0, sample)
         send = jnp.where(has, jnp.minimum(s0 + spt, spp), send)
         ro_n, rd_n, t_n = get_rays_soa(cam, basis, seed, to_global(pixel),
-                                       sample)
+                                       sample, no_defocus=no_defocus)
         ro = v3.where(has, ro_n, ro)
         rd = v3.where(has, rd_n, rd)
         tme = jnp.where(has, t_n, tme)
@@ -257,24 +258,27 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
 @functools.partial(jax.jit,
                    static_argnames=("meta", "pool", "chunk", "window",
                                     "use_pallas", "spt", "per",
-                                    "pallas_interpret", "pallas_accel"),
+                                    "pallas_interpret", "pallas_accel",
+                                    "no_defocus"),
                    donate_argnums=(3,))
 def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
                     task_end, *, meta: SceneMeta, pool: int, chunk: int,
                     window: int, use_pallas: bool, spt: int, per: int,
-                    pallas_interpret: bool = False, pallas_accel=None):
+                    pallas_interpret: bool = False, pallas_accel=None,
+                    no_defocus: bool = False):
     """Single-device span (n_shards == 1)."""
     return _span_core(data, cam, seed, fb, task_start, task_end,
                       jnp.int32(0), meta=meta, pool=pool, chunk=chunk,
                       window=window, use_pallas=use_pallas, spt=spt,
                       per=per, n_shards=1,
                       pallas_interpret=pallas_interpret,
-                      pallas_accel=pallas_accel)
+                      pallas_accel=pallas_accel, no_defocus=no_defocus)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
-                  pallas_interpret=False, pallas_accel=None):
+                  pallas_interpret=False, pallas_accel=None,
+                  no_defocus=False):
     """jitted shard_map'ed span over a 1-D 'rays' mesh.
 
     Scene/camera replicated; fb row-sharded; zero collectives (the forward
@@ -291,7 +295,8 @@ def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
             data, cam, seed, fb, t0, t1, sid, meta=meta, pool=pool,
             chunk=chunk, window=window, use_pallas=use_pallas, spt=spt,
             per=per, n_shards=n,
-            pallas_interpret=pallas_interpret, pallas_accel=pallas_accel)
+            pallas_interpret=pallas_interpret, pallas_accel=pallas_accel,
+            no_defocus=no_defocus)
         return fb, iters[None], useful[None]
 
     fn = jax.shard_map(per_device, mesh=mesh,
@@ -332,10 +337,23 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if spt is None:
-        spt = min(spp, 16)
+        # Straggler tail: after the last task is claimed, the worst lane
+        # still owes ~spt * bounce_limit bounce steps at collapsing
+        # occupancy, so deep scenes want short chunks.  Measured (TPU v5e,
+        # tools/tune_wavefront.py): scene 1 (depth 20) 20.4 -> 22.6 M
+        # paths/s going spt 16 -> 8; scene 8 (depth 40) best at spt 4.
+        spt = min(spp, 4 if cam.bounce_limit >= 32 else 8)
     if window is None:
-        window = 8 if use_pallas else 3
+        # Deep scenes also profit from more frequent deposit/refill rounds
+        # (occ 0.809 -> 0.881 on scene 8 at window 4); shallow scenes lose
+        # more to the per-round refill cost than they gain.
+        deep = cam.bounce_limit >= 32
+        window = (4 if deep else 8) if use_pallas else 3
     n_chunks = -(-spp // spt)
+    # static zero-aperture flag: skips the SLOT_CAM_LENS philox block +
+    # disk math in respawn (unobservable — the oracle ignores those draws
+    # at defocus 0; see camera.get_rays_soa)
+    no_defocus = bool(np.asarray(cam.defocus_angle) <= 0.0)
     stats = {"iterations": 0, "useful_segments": 0, "slots_executed": 0}
 
     if mesh is not None:
@@ -363,7 +381,8 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         cam_d = jax.device_put(cam, repl)
         span = _sharded_span(mesh, meta, int(pool), int(chunk), int(window),
                              bool(use_pallas), int(spt), int(per),
-                             bool(pallas_interpret), pallas_accel)
+                             bool(pallas_interpret), pallas_accel,
+                             no_defocus)
         tasks_per_call = max(pool, max_paths_per_call // spt)
         shard_useful = None
         for c in range(l0, l1):
@@ -412,7 +431,7 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
             meta=meta, pool=int(pool), chunk=int(chunk),
             window=int(window), use_pallas=bool(use_pallas), spt=int(spt),
             per=WH, pallas_interpret=bool(pallas_interpret),
-            pallas_accel=pallas_accel)
+            pallas_accel=pallas_accel, no_defocus=no_defocus)
         stats["iterations"] += int(iters)
         stats["useful_segments"] += int(useful)
         stats["slots_executed"] += int(iters) * int(window) * int(pool)

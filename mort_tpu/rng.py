@@ -56,22 +56,27 @@ SLOT_MIX = 0            # (mixture_choice, light_pick, dielectric_u, _)
 SLOT_MAT_DIR = 1        # (u1, u2, _, _) cosine / isotropic direction
 SLOT_LIGHT_DIR = 2      # (u1, u2, _, _) light sphere-cone / quad sample
 SLOT_FUZZ = 3           # (u1, u2, _, _) metal fuzz unit vector
-SLOT_MEDIUM0 = 4        # slot 4+m: free-flight draw for medium m (word 0)
+SLOT_MEDIUM0 = 4        # one block; medium m reads word m (m < MAX_MEDIA)
 MAX_MEDIA = 4
-SLOTS_PER_BOUNCE = SLOT_MEDIUM0 + MAX_MEDIA
+SLOTS_PER_BOUNCE = SLOT_MEDIUM0 + 1
 
 
 def _mulhilo_jnp(a, b):
-    """(hi, lo) words of the 64-bit product of two uint32 arrays, in uint32."""
+    """(hi, lo) words of the 64-bit product of two uint32 arrays, in uint32.
+
+    ``lo`` is recomposed from the 16-bit limb products ((v & 0xFFFF) << 16 |
+    (t & 0xFFFF) == a*b mod 2^32) instead of a fifth full-width multiply —
+    u32 multiplies are the TPU VPU's most expensive op, and the limb
+    recomposition is bit-identical."""
     a = a.astype(jnp.uint32)
     b = jnp.uint32(b)
-    lo = a * b
     ah, al = a >> 16, a & 0xFFFF
     bh, bl = b >> 16, b & 0xFFFF
     t = al * bl
     u = ah * bl + (t >> 16)
     v = al * bh + (u & 0xFFFF)
     hi = ah * bh + (u >> 16) + (v >> 16)
+    lo = ((v & 0xFFFF) << 16) | (t & 0xFFFF)
     return hi, lo
 
 

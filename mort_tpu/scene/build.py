@@ -93,6 +93,13 @@ class SceneData:
     tex_image_id: Any    # [T] i32
     # Image data (static count/shapes; tuple of [H,W,3] f32 in [0,1]).
     images: Any
+    # Same texels packed (r<<16 | g<<8 | b) as [H,W] uint32: the point-
+    # sample fetch is a TPU gather (~1 element/cycle, no vector gather
+    # unit), and one packed gather + VPU unpack costs a third of three
+    # per-channel gathers.  8-bit quantization IS the reference pipeline
+    # (stb_image u8, textures.cuh:129-146); u8-sourced images round-trip
+    # bit-exactly.
+    images_packed: Any
     # Constant media.
     med_neg_inv_density: Any  # [Nm]
     # NOTE deliberately NO per-primitive BVH arrays here: the device
@@ -775,6 +782,11 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         tex_child_even=jnp.asarray(tex_child_even), tex_child_odd=jnp.asarray(tex_child_odd),
         tex_noise_scale=jnp.asarray(tex_noise_scale), tex_image_id=jnp.asarray(tex_image_id),
         images=tuple(jnp.asarray(im) for im in w.images),
+        images_packed=tuple(
+            jnp.asarray((np.round(np.clip(im, 0.0, 1.0) * 255.0)
+                         .astype(np.uint32) << np.uint32([16, 8, 0]))
+                        .sum(axis=-1, dtype=np.uint32))
+            for im in w.images),
         med_neg_inv_density=jnp.asarray(med_nid),
     )
     meta = SceneMeta(

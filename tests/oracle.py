@@ -304,7 +304,7 @@ class Oracle:
             rec1 = max(rec1, F(0))
             ray_len = F(np.linalg.norm(rd))
             dist_inside = (rec2 - rec1) * ray_len
-            u_m = _u4(self.seed, pixel, sample, 1 + bounce, rngm.SLOT_MEDIUM0 + m)[0]
+            u_m = _u4(self.seed, pixel, sample, 1 + bounce, rngm.SLOT_MEDIUM0)[m]
             hit_dist = self.med_nid[m] * np.log(u_m)
             if hit_dist > dist_inside:
                 continue
