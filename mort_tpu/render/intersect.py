@@ -36,6 +36,15 @@ from .. import rng as rngm
 from . import math3 as m3
 
 INF = jnp.float32(jnp.inf)
+
+# TPU's DEFAULT dot precision is a single bf16 pass; at scene coordinate
+# scales (|ro||c| ~ 1e6) that fakes geometry (see pallas_intersect.DOT_PREC).
+# All closest-hit matmuls go through _mm so CPU and TPU agree at f32.
+import jax as _jax
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_jax.lax.Precision.HIGHEST)
 T_MIN = 1e-3          # world-level epsilon (camera.cuh:97)
 MEDIUM_EPS = 1e-4     # boundary re-hit epsilon (objects.cuh:404)
 UV_CLAMP = 1.0 - 2.0 ** -20   # arccos domain clamp (gradient safety)
@@ -117,13 +126,13 @@ def sphere_pass(data: SceneData, meta: SceneMeta, ro, rd, time, t_min,
         c = data.sph_center[start:start + size]
         surf = data.sph_surface[start:start + size]
         r = data.sph_radius[start:start + size]
-        rdc = rd @ c.T                          # [R,C]
-        roc = ro @ c.T
+        rdc = _mm(rd, c.T)                          # [R,C]
+        roc = _mm(ro, c.T)
         ctc = jnp.sum(c * c, axis=-1)           # [C]
         if meta.any_moving:
             cv = data.sph_cvec[start:start + size]
-            rdv = rd @ cv.T
-            rov = ro @ cv.T
+            rdv = _mm(rd, cv.T)
+            rov = _mm(ro, cv.T)
             ccv = jnp.sum(c * cv, axis=-1)
             vv = jnp.sum(cv * cv, axis=-1)
             tcol = time[:, None]
@@ -162,17 +171,17 @@ def quad_pass(data: SceneData, meta: SceneMeta, qf: QuadFrames, ro, rd, t_min,
     for start, size in _chunk_bounds(n_rows, meta.n_quads, chunk):
         nrm = qf.normal[start:start + size]
         surf = data.quad_surface[start:start + size]
-        denom = rd @ nrm.T                              # [R,C]
+        denom = _mm(rd, nrm.T)                              # [R,C]
         ok_denom = jnp.abs(denom) >= 1e-8
         denom_safe = jnp.where(ok_denom, denom, 1.0)
         t = jnp.where(ok_denom,
-                      (qf.D[None, start:start + size] - ro @ nrm.T) / denom_safe,
+                      (qf.D[None, start:start + size] - _mm(ro, nrm.T)) / denom_safe,
                       -1.0)
-        a1 = ro @ qf.vxw[start:start + size].T
-        a2 = rd @ qf.vxw[start:start + size].T
+        a1 = _mm(ro, qf.vxw[start:start + size].T)
+        a2 = _mm(rd, qf.vxw[start:start + size].T)
         alpha = a1 + t * a2 - qf.qa[None, start:start + size]
-        b1 = ro @ qf.wxu[start:start + size].T
-        b2 = rd @ qf.wxu[start:start + size].T
+        b1 = _mm(ro, qf.wxu[start:start + size].T)
+        b2 = _mm(rd, qf.wxu[start:start + size].T)
         beta = b1 + t * b2 - qf.qb[None, start:start + size]
         valid = (
             ok_denom

@@ -437,6 +437,56 @@ _STACK = 32       # traversal stack depth; tree depth is log2(L) + 1 <= 31
 
 _DN = (((1,), (0,)), ((), ()))
 
+# f32 dot precision for the geometry/gather matmuls.  TPU's DEFAULT dot
+# precision is a single bf16 pass: coefficient products like ro.c at
+# |ro||c| ~ 1e6 (scene 1's r=1000 ground sphere) then carry ~4e3 absolute
+# error, which fakes self-intersections every bounce and was measured to
+# darken sky scenes ~28% (paths die at the depth limit) -- the CPU oracle
+# proved the TPU image wrong.  The one-hot row gather is equally affected
+# (a bf16 pass truncates every gathered shading attribute to 8 mantissa
+# bits).  Mosaic supports only DEFAULT and HIGHEST; HIGHEST fixes the
+# images but costs 6 passes and blew compile up ~25x, so the split-dot
+# helpers below do the bf16-limb decomposition by hand: 3 bf16 passes give
+# ~2^-18-relative coefficient products (orders of magnitude inside the
+# closest-hit epsilons) and an EXACT row gather (the 0/1 one-hot side is
+# exactly bf16; the table side splits into 3 limbs covering all 24
+# mantissa bits).
+
+
+def _split2(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot4(a, b, dn=None):
+    """f32-accurate coefficient dot.  The big-sphere quadratic needs
+    ~24-bit products (|ro.c| ~ 1e6 resolved to ~0.1): two bf16 limbs per
+    operand (16 bits, 4 passes) measurably fakes hits at the t_min scale,
+    so this is Mosaic's HIGHEST (~6 bf16 passes).  The compile blowup
+    HIGHEST caused when also applied to the one-hot gather is avoided by
+    _gather3 below."""
+    dn = _DN if dn is None else dn
+    return jax.lax.dot_general(a, b, dn,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _gather3(tbl, oh_bf16, dn):
+    """EXACT one-hot row gather: the 0/1 one-hot is exactly bf16, and the
+    f32 table splits into 3 bf16 limbs covering all 24 mantissa bits, so
+    three bf16 passes reconstruct the gathered f32 values bit-exactly."""
+    h1 = tbl.astype(jnp.bfloat16)
+    r1 = tbl - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x):
+        return jax.lax.dot_general(x, oh_bf16, dn,
+                                   preferred_element_type=jnp.float32)
+
+    return d(h1) + (d(h2) + d(h3))
+
 
 def _ray_basis(rays):
     """Build the (K_LIN, TR) ray-basis matrix B from the (8, TR) ray stack.
@@ -478,8 +528,7 @@ def _sphere_chunk_best(sph_ref, start, n_sub, B, a, t_min_a):
     is monotone under the scaling, so the per-pair division is hoisted out
     of the tile — the winner is unscaled once per ray by the caller."""
     coef = sph_ref[pl.ds(start, n_sub * 2 * CL), :]
-    prod = jax.lax.dot_general(coef, B, _DN,
-                               preferred_element_type=jnp.float32)
+    prod = _dot4(coef, B)
     r = prod.reshape(n_sub, 2, CL, prod.shape[-1])
     half_b = r[:, 0].reshape(n_sub * CL, -1)
     c_term = r[:, 1].reshape(n_sub * CL, -1)
@@ -496,8 +545,7 @@ def _quad_chunk_best(quad_ref, start, n_sub, B, t_min):
     starting at table row ``start``; ONE MXU matmul yields all six
     per-pair terms for the slice."""
     coef = quad_ref[pl.ds(start, n_sub * 6 * CL), :]
-    prod = jax.lax.dot_general(coef, B, _DN,
-                               preferred_element_type=jnp.float32)
+    prod = _dot4(coef, B)
     r = prod.reshape(n_sub, 6, CL, prod.shape[-1])
     den = r[:, 0].reshape(n_sub * CL, -1)
     num = r[:, 1].reshape(n_sub * CL, -1)
@@ -529,8 +577,7 @@ def _quad_gen_best(gen_ref, ids_ref, n_sub, B, t_min):
     """Closest general-orientation quad over the compacted table; candidate
     ids are original registry rows (float32)."""
     coef = gen_ref[pl.ds(0, n_sub * 6 * CL), :]
-    prod = jax.lax.dot_general(coef, B, _DN,
-                               preferred_element_type=jnp.float32)
+    prod = _dot4(coef, B)
     r = prod.reshape(n_sub, 6, CL, prod.shape[-1])
     den = r[:, 0].reshape(n_sub * CL, -1)
     num = r[:, 1].reshape(n_sub * CL, -1)
@@ -970,10 +1017,8 @@ def _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx, *,
         tbl = tbl_ref[:, pl.ds(k * CK, CK)]          # (32, CK)
         local = gidx - k * CK
         oh = (local == jax.lax.broadcasted_iota(
-            jnp.int32, (CK, TR), 0)).astype(jnp.float32)
-        return acc + jax.lax.dot_general(
-            tbl, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            jnp.int32, (CK, TR), 0)).astype(jnp.bfloat16)
+        return acc + _gather3(tbl, oh, (((1,), (0,)), ((), ())))
 
     if guard:
         def row_body(k, acc):
