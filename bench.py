@@ -126,10 +126,15 @@ def _bench_grad_step(quick):
     jax.block_until_ready((loss, grads))
     compile_s = time.perf_counter() - t0
     times = []
+    # seeds must DIFFER from the warmup call's (an identical call can be
+    # served from cache by the tunneled runtime), and the loss value is
+    # materialized inside the timed region — block_until_ready alone was
+    # observed to return before the remote execution finished
     for i in range(3):
         t0 = time.perf_counter()
-        loss, grads = step(data, cam, target, seed=69420 + i)
-        jax.block_until_ready((loss, grads))
+        loss, grads = step(data, cam, target, seed=69421 + i)
+        float(loss)
+        jax.block_until_ready(grads)
         times.append(time.perf_counter() - t0)
     wall = sorted(times)[len(times) // 2]
     rec = {

@@ -43,13 +43,43 @@ from ..scene.build import SceneData, SceneMeta
 from ..render.renderer import radiance_for_pixels
 
 
-def make_mesh(n_devices=None, devices=None) -> Mesh:
-    """1-D 'rays' mesh over the given/available devices."""
+def make_mesh(n_devices=None, devices=None, shape=None) -> Mesh:
+    """Device mesh for ray/pixel sharding.
+
+    1-D: ``make_mesh(8)`` -> a 'rays' axis over 8 devices.
+    2-D: ``make_mesh(shape=(hosts, chips))`` -> the ("dcn", "ici") mesh of
+    the SURVEY §7 distribution plan: the outer axis strides across hosts
+    (slow DCN links), the inner axis across a host's chips (fast ICI), so
+    jax.devices()' host-major ordering puts each row's chips on one host
+    and every collective that can ride ICI does.  Rendering/training treat
+    the two axes as one flattened data-parallel pixel axis (renders are
+    mesh-shape-invariant); the axis split matters the moment a collective
+    is mesh-aware — gradient psums reduce over ICI first, then DCN.
+
+    Multi-host: call jax.distributed.initialize() first; then
+    shape=(jax.process_count(), jax.local_device_count()).
+    """
     if devices is None:
         devices = jax.devices()
+    if shape is not None:
+        hosts, chips = shape
+        if n_devices is not None:
+            raise ValueError("pass n_devices or shape, not both")
+        if hosts * chips > len(devices):
+            raise ValueError(f"mesh shape {shape} needs {hosts * chips} "
+                             f"devices, have {len(devices)}")
+        grid = np.asarray(devices[:hosts * chips]).reshape(hosts, chips)
+        return Mesh(grid, ("dcn", "ici"))
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("rays",))
+
+
+def mesh_axes(mesh: Mesh) -> tuple:
+    """The mesh's data-parallel axis names as a flat tuple — P(mesh_axes(m))
+    shards an array's leading dim over EVERY mesh axis (outer-major), which
+    is the layout all render/train sharding here uses."""
+    return tuple(mesh.axis_names)
 
 
 def _padded_pixels(W, H, n_shards):
@@ -78,7 +108,7 @@ def render_sharded(data: SceneData, meta: SceneMeta, cam: Camera, mesh: Mesh,
     n = mesh.devices.size
     pix, WH = _padded_pixels(W, H, n)
 
-    shard = NamedSharding(mesh, P("rays"))
+    shard = NamedSharding(mesh, P(mesh_axes(mesh)))
     repl = NamedSharding(mesh, P())
     pix_dev = jax.device_put(jnp.asarray(pix), shard)
     data_dev = jax.device_put(data, repl)
@@ -103,7 +133,7 @@ def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512, use_pallas=None):
     scene operand).  On TPU the closest-hit runs through the Pallas kernel
     in both passes (its custom VJP keeps the backward off the
     bandwidth-bound XLA intersector)."""
-    shard = NamedSharding(mesh, P("rays"))
+    shard = NamedSharding(mesh, P(mesh_axes(mesh)))
     repl = NamedSharding(mesh, P())
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"

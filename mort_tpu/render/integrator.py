@@ -33,7 +33,8 @@ from .vec import V3
 
 def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
           basis: CameraBasis, seed, pixel_ids, sample_ids, chunk=512,
-          differentiable=False, use_pallas=False, pallas_interpret=False):
+          differentiable=False, use_pallas=False, pallas_interpret=False,
+          prepacked=None):
     """Trace one camera sample for a batch of pixels; returns radiance [R,3].
 
     ``differentiable=True`` uses a static-trip-count fori_loop (reverse-mode
@@ -42,10 +43,18 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
     through the fused kernel — including under reverse-mode AD (its custom
     VJP recomputes the winner analytically, pallas_intersect.py);
     ``pallas_interpret`` runs the kernel in interpret mode (CPU tests).
+    ``prepacked`` (pallas_intersect.pack_for_kernel) lets callers that
+    invoke trace inside their own loop hoist the scene packing out of it.
     """
     ro, rd, time = get_rays_soa(cam, basis, seed, pixel_ids, sample_ids)
     R = pixel_ids.shape[0]
     table, mat_cols = build_prim_table(data, meta, qf)
+    if use_pallas and prepacked is None:
+        from . import pallas_intersect as pal
+        # table packing hoisted out of the bounce loop (pack_for_kernel
+        # docstring); under AD the pack VJP also runs once, not per bounce
+        prepacked = pal.pack_for_kernel(data, meta, qf, table,
+                                        interpret=pallas_interpret)
     bg = cam.background
 
     def body(state):
@@ -55,7 +64,7 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
             from . import pallas_intersect as pal
             bt, bk, bi, row_t = pal.closest_hit_pallas(
                 data, meta, qf, table, ro, rd, time,
-                interpret=pallas_interpret)
+                interpret=pallas_interpret, prepacked=prepacked)
             if meta.media:
                 bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
                                         pixel_ids, sample_ids, bounce, T_MIN,
@@ -90,8 +99,15 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
 
     state = (jnp.int32(0), V3.zeros(R), V3.ones(R), jnp.ones(R, bool), ro, rd)
     if differentiable:
+        # Rematerialize each bounce in the backward: without this, reverse
+        # mode stacks every bounce's intermediates ([R]-sized ray/shading
+        # tensors x bounce_limit) and the backward becomes residual-traffic
+        # bound — profiled at ~25x the kernel time on the chip.  Recompute
+        # is cheap (the fused kernel dominates, ~3 ms/bounce) and the
+        # saved residuals shrink to the loop carry.
+        body_ck = jax.checkpoint(body)
         state = jax.lax.fori_loop(0, cam.bounce_limit,
-                                  lambda _i, s: body(s), state)
+                                  lambda _i, s: body_ck(s), state)
     else:
         state = jax.lax.while_loop(cond, body, state)
     return state[1].to_rows()

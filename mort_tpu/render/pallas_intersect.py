@@ -435,6 +435,17 @@ def cluster_tree(cbox):
 
 _STACK = 32       # traversal stack depth; tree depth is log2(L) + 1 <= 31
 
+# Auto accel policy crossover (single source of truth; tools import this).
+# "none" (brute-force MXU scan + aaq/aab fast paths) measured fastest
+# through final_scene's 3.4k prims; beyond this linear cost must lose to
+# packet-heap pruning.
+BVH_MIN_PRIMS = 8192
+
+
+def auto_accel(n_prims: int) -> str:
+    """The accel mode the kernel picks when none is forced."""
+    return "none" if n_prims <= BVH_MIN_PRIMS else "bvh"
+
 _DN = (((1,), (0,)), ((), ()))
 
 # f32 dot precision for the geometry/gather matmuls.  TPU's DEFAULT dot
@@ -444,45 +455,104 @@ _DN = (((1,), (0,)), ((), ()))
 # darken sky scenes ~28% (paths die at the depth limit) -- the CPU oracle
 # proved the TPU image wrong.  The one-hot row gather is equally affected
 # (a bf16 pass truncates every gathered shading attribute to 8 mantissa
-# bits).  Mosaic supports only DEFAULT and HIGHEST; HIGHEST fixes the
-# images but costs 6 passes and blew compile up ~25x, so the split-dot
-# helpers below do the bf16-limb decomposition by hand: 3 bf16 passes give
-# ~2^-18-relative coefficient products (orders of magnitude inside the
-# closest-hit epsilons) and an EXACT row gather (the 0/1 one-hot side is
-# exactly bf16; the table side splits into 3 limbs covering all 24
-# mantissa bits).
+# bits).  Mosaic's HIGHEST fixes the coefficient dots but costs ~6 bf16
+# MXU passes -- measured at a 20% whole-frame cost on scene 1 (BENCH
+# r02 -> r03, PERF.md).
+#
+# The TPU-native fix exploits the fold's OWN slack instead: the live
+# contraction depth is only K_LIVE = 17 and the MXU's systolic depth is
+# 128, so the K dimension has room for SIX limb-product pairs.  Writing
+# a = a1+a2+a3 and b = b1+b2+b3 (exact 3x-bf16 limb decompositions of
+# f32), the six dominant pair products
+#     a1b1 + a1b2 + a2b1 + a1b3 + a2b2 + a3b1
+# (HIGHEST's own bf16_6x expansion; dropped pairs are < 2^-32 relative)
+# are laid out side by side along K -- table columns [a1|a1|a2|a1|a2|a3],
+# ray-basis rows [b1|b2|b1|b3|b2|b1], 6*17 = 102 <= 128 -- so ONE native
+# bf16 matmul pass computes the full ~2^-24-accurate dot at the exact MXU
+# cost of the old wrong single DEFAULT pass.  The one-hot row gather
+# contracts over table ROWS (no K slack), so it keeps the explicit 3-pass
+# decomposition (_gather3): the 0/1 one-hot side is exactly bf16 and 3
+# table limbs cover all 24 mantissa bits.
+
+K_LIVE = 17       # live ray-basis rows (columns 0..16 of the tables)
+_PAIR_A = (0, 0, 1, 0, 1, 2)   # table-side limb index per product pair
+_PAIR_B = (0, 1, 0, 2, 1, 0)   # ray-side limb index per product pair
+# 6*K_LIVE = 102 packed contraction rows <= 128: still one MXU K-tile
 
 
-def _split2(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+def _limbs3(x):
+    """Exact 3-limb bf16 decomposition of f32 (all 24 mantissa bits)."""
+    l1 = x.astype(jnp.bfloat16)
+    r1 = x - l1.astype(jnp.float32)
+    l2 = r1.astype(jnp.bfloat16)
+    l3 = (r1 - l2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return l1, l2, l3
 
 
-def _dot4(a, b, dn=None):
-    """f32-accurate coefficient dot.  The big-sphere quadratic needs
-    ~24-bit products (|ro.c| ~ 1e6 resolved to ~0.1): two bf16 limbs per
-    operand (16 bits, 4 passes) measurably fakes hits at the t_min scale,
-    so this is Mosaic's HIGHEST (~6 bf16 passes).  The compile blowup
-    HIGHEST caused when also applied to the one-hot gather is avoided by
-    _gather3 below."""
+def _limb_pack_rows(coef):
+    """IN-KERNEL limb packing of a coefficient-table slice: [rows, K_LIN]
+    f32 -> [rows, 6*K_LIVE] bf16, columns laid out per _PAIR_A to match
+    ``_ray_basis_packed``'s rows.
+
+    Done inside the Mosaic kernel on purpose: the kernel's operands stay
+    the plain f32 coefficient tables (the exact operand pattern every
+    loop-nesting structure has been validated against since r03), and all
+    bf16 limb arithmetic lives in one place the MXU test pins bit-exactly.
+    An earlier variant that packed the tables OUTSIDE the kernel produced
+    wrong images whenever the pallas call sat under nested XLA loops
+    (fori-of-while) while passing every flat-call test — a
+    miscompile-shaped failure this formulation sidesteps entirely.  VPU
+    cost: ~5 elementwise ops over the slice per grid step — noise next to
+    the chunk matmul."""
+    limbs = _limbs3(coef[:, :K_LIVE])
+    return jnp.concatenate([limbs[i] for i in _PAIR_A], axis=1)
+
+
+def _dotp(a, b, dn=None):
+    """Limb-packed coefficient dot: one native bf16 MXU pass, f32
+    accumulate, ~2^-24-relative products (HIGHEST-equivalent)."""
     dn = _DN if dn is None else dn
     return jax.lax.dot_general(a, b, dn,
+                               preferred_element_type=jnp.float32)
+
+
+def _coef_dot(coef, B):
+    """Coefficient-table x ray-basis product, dispatched on the basis form.
+
+    bf16 basis (real Mosaic kernel): in-kernel limb pack + single-pass
+    packed dot.  f32 basis (interpret mode): a plain HIGHEST dot — the
+    limb-split pattern ``x - f32(bf16(x))`` is algebraically zero, and
+    XLA's simplifier (CPU and TPU alike) sometimes eliminates it when the
+    interpret-inlined kernel lands inside a large fused graph, silently
+    degrading the dot to one bf16 pass.  Interpret mode therefore
+    validates the kernel's LOGIC (traversal, ties, fast paths) at f32,
+    while the real kernel's limb numerics are pinned on hardware by the
+    Mosaic bit-exactness check and the per-round chip parity gate
+    (tools/tpu_parity.py)."""
+    if B.dtype == jnp.bfloat16:
+        return _dotp(_limb_pack_rows(coef), B)
+    return jax.lax.dot_general(coef, B, _DN,
                                precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
 
 
-def _gather3(tbl, oh_bf16, dn):
-    """EXACT one-hot row gather: the 0/1 one-hot is exactly bf16, and the
-    f32 table splits into 3 bf16 limbs covering all 24 mantissa bits, so
-    three bf16 passes reconstruct the gathered f32 values bit-exactly."""
+def _gather3(tbl, oh, dn):
+    """EXACT one-hot row gather.  bf16 one-hot (real Mosaic kernel): the
+    0/1 one-hot is exactly bf16 and the f32 table splits into 3 bf16 limbs
+    covering all 24 mantissa bits, so three bf16 passes reconstruct the
+    gathered f32 values bit-exactly.  f32 one-hot (interpret mode): one
+    HIGHEST pass — same simplifier hazard as _coef_dot."""
+    if oh.dtype != jnp.bfloat16:
+        return jax.lax.dot_general(tbl, oh, dn,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
     h1 = tbl.astype(jnp.bfloat16)
     r1 = tbl - h1.astype(jnp.float32)
     h2 = r1.astype(jnp.bfloat16)
     h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(x):
-        return jax.lax.dot_general(x, oh_bf16, dn,
+        return jax.lax.dot_general(x, oh, dn,
                                    preferred_element_type=jnp.float32)
 
     return d(h1) + (d(h2) + d(h3))
@@ -507,6 +577,15 @@ def _ray_basis(rays):
     return jnp.concatenate(rows, axis=0)
 
 
+def _ray_basis_packed(rays):
+    """Limb-packed ray-basis matrix [6*K_LIVE, TR] bf16: the K_LIVE live
+    rows of B, 3-limb decomposed and stacked per product pair (_PAIR_B),
+    matching ``_limb_pack_rows``'s column layout on the table side."""
+    B = _ray_basis(rays)[:K_LIVE]
+    limbs = _limbs3(B)
+    return jnp.concatenate([limbs[j] for j in _PAIR_B], axis=0)
+
+
 def _argmin_rows(cand):
     """(min, argmin) over the prim axis of a (CK', TR) candidate tile;
     earlier row wins ties (world.cuh registry order)."""
@@ -528,7 +607,7 @@ def _sphere_chunk_best(sph_ref, start, n_sub, B, a, t_min_a):
     is monotone under the scaling, so the per-pair division is hoisted out
     of the tile — the winner is unscaled once per ray by the caller."""
     coef = sph_ref[pl.ds(start, n_sub * 2 * CL), :]
-    prod = _dot4(coef, B)
+    prod = _coef_dot(coef, B)
     r = prod.reshape(n_sub, 2, CL, prod.shape[-1])
     half_b = r[:, 0].reshape(n_sub * CL, -1)
     c_term = r[:, 1].reshape(n_sub * CL, -1)
@@ -545,7 +624,7 @@ def _quad_chunk_best(quad_ref, start, n_sub, B, t_min):
     starting at table row ``start``; ONE MXU matmul yields all six
     per-pair terms for the slice."""
     coef = quad_ref[pl.ds(start, n_sub * 6 * CL), :]
-    prod = _dot4(coef, B)
+    prod = _coef_dot(coef, B)
     r = prod.reshape(n_sub, 6, CL, prod.shape[-1])
     den = r[:, 0].reshape(n_sub * CL, -1)
     num = r[:, 1].reshape(n_sub * CL, -1)
@@ -577,7 +656,7 @@ def _quad_gen_best(gen_ref, ids_ref, n_sub, B, t_min):
     """Closest general-orientation quad over the compacted table; candidate
     ids are original registry rows (float32)."""
     coef = gen_ref[pl.ds(0, n_sub * 6 * CL), :]
-    prod = _dot4(coef, B)
+    prod = _coef_dot(coef, B)
     r = prod.reshape(n_sub, 6, CL, prod.shape[-1])
     den = r[:, 0].reshape(n_sub * CL, -1)
     num = r[:, 1].reshape(n_sub * CL, -1)
@@ -656,11 +735,15 @@ def _aab_best(aab_ref, n_box, ro_c, rd_c, ird_c, mask_c, t_min):
 
     def pick(t_star, slabs, lo_when_pos):
         # face identity: the axis achieving t_star; rays moving +k enter
-        # through the lo_k face and exit through hi_k (and vice versa)
-        fid = jnp.where((rd_c[0] > 0) == lo_when_pos, flo[0], fhi[0])
-        for k in (1, 2):
+        # through the lo_k face and exit through hi_k (and vice versa).
+        # Exact edge/corner hits satisfy t_star == slabs[k] for several
+        # axes — resolve to the LOWEST face registry row, matching the
+        # per-face path's (t, id) merge tie-break.
+        fid = jnp.full_like(t_star, 2.0e9)
+        for k in range(3):
             fk = jnp.where((rd_c[k] > 0) == lo_when_pos, flo[k], fhi[k])
-            fid = jnp.where(t_star == slabs[k], fk, fid)
+            fid = jnp.minimum(fid, jnp.where(t_star == slabs[k], fk,
+                                             jnp.float32(2.0e9)))
         return fid
 
     ids = jnp.where(use_en, pick(t_en, mns, True), pick(t_ex, mxs, False))
@@ -669,7 +752,8 @@ def _aab_best(aab_ref, n_box, ro_c, rd_c, ird_c, mask_c, t_min):
 
 
 def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
-                 n_gen_sub=0, aaq_groups=(), n_aab=0, n_join_chunks=None):
+                 n_gen_sub=0, aaq_groups=(), n_aab=0, n_join_chunks=None,
+                 interpret=False):
     """Kernel over (rays, [sph], [quad], tbl, [cbox|tree]) — the sphere/quad
     tables are passed only when their chunk count is nonzero (scene 1 has no
     quads; the Cornell walls scene has no surface spheres), so empty kinds
@@ -700,6 +784,7 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
     n_sph_sub = n_sph_chunks * (CK // CL)
     n_quad_sub = n_quad_chunks * (CK // CL)
     cull = accel == "cull"
+    oh_dtype = jnp.float32 if interpret else jnp.bfloat16
 
     def kernel(*refs):
         it = iter(refs)
@@ -720,7 +805,9 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
         rox, roy, roz = rays[0:1], rays[1:2], rays[2:3]
         rdx, rdy, rdz = rays[3:4], rays[4:5], rays[5:6]
         a = rdx * rdx + rdy * rdy + rdz * rdz
-        B = _ray_basis(rays)
+        # real kernel: bf16 limb-packed basis; interpret: f32 HIGHEST
+        # (_coef_dot docstring)
+        B = _ray_basis(rays) if interpret else _ray_basis_packed(rays)
         t_min_a = t_min * a
         sph_rows = n_sph_chunks * CK            # quad block offset in gidx
 
@@ -840,7 +927,7 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
                              K_NONE).astype(jnp.int32)
             gidx = jnp.where(hit, best_g, 0)
             _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind,
-                      idx, guard=n_all_chunks > 1)
+                      idx, guard=n_all_chunks > 1, oh_dtype=oh_dtype)
             return
 
         if cull:
@@ -997,12 +1084,12 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
                          K_NONE).astype(jnp.int32)
         gidx = jnp.where(q_better, idx + n_sph_chunks * CK, idx)
         _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx,
-                  guard=cull and n_all_chunks > 1)
+                  guard=cull and n_all_chunks > 1, oh_dtype=oh_dtype)
     return kernel
 
 
 def _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx, *,
-              guard):
+              guard, oh_dtype=jnp.bfloat16):
     """Gather the winners' joined rows and write the kernel output.
 
     The joined-row "gather" is a one-hot matmul, fully in VMEM: TPU has no
@@ -1017,7 +1104,7 @@ def _emit_row(tbl_ref, row_ref, n_all_chunks, hit, gidx, t, kind, idx, *,
         tbl = tbl_ref[:, pl.ds(k * CK, CK)]          # (32, CK)
         local = gidx - k * CK
         oh = (local == jax.lax.broadcasted_iota(
-            jnp.int32, (CK, TR), 0)).astype(jnp.bfloat16)
+            jnp.int32, (CK, TR), 0)).astype(oh_dtype)
         return acc + _gather3(tbl, oh, (((1,), (0,)), ((), ())))
 
     if guard:
@@ -1063,7 +1150,8 @@ def _closest_hit(rays, sph_tbl, quad_tbl, joined_tbl, cbox, gen_tbl, gen_ids,
     n_qc = 0 if fastq else n_quad_chunks
     kernel = _make_kernel(n_sph_chunks, n_qc, t_min, accel, tree_L,
                           n_gen_sub=n_gen_sub, aaq_groups=aaq_groups,
-                          n_aab=n_aab, n_join_chunks=n_join)
+                          n_aab=n_aab, n_join_chunks=n_join,
+                          interpret=interpret)
     operands = [rays]
     in_specs = [pl.BlockSpec((8, TR), lambda i: (0, i), memory_space=pltpu.VMEM)]
     if n_sph_chunks:
@@ -1211,6 +1299,16 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret,
             rays, hrow, crow, qrow)
         d_rays, d_h, d_c, d_q = vjp_fn(dt_eff)
 
+        # NOTE on the scatter-adds below: XLA's TPU scatter is the largest
+        # single backward cost (~45 ms per [R~200k -> ~2k rows] scatter in
+        # the 600x338 train step).  An MXU one-hot scatter-accumulate
+        # Pallas kernel (VMEM one-hot tiles, 3-limb-exact cotangents) was
+        # built and validated grad-exact — and made the WHOLE step 2x
+        # slower: pulling the scatters out of XLA's fusions perturbed the
+        # rematerialized backward's global schedule (the ray-basis
+        # concatenate alone went 4 ms -> 74 ms).  Reverted; a future pass
+        # should fuse the entire bounce backward into one kernel instead
+        # of swapping individual ops at the XLA boundary.
         d_sph = jnp.zeros_like(sph_tbl)
         if has_s:
             drop = jnp.int32(2 * cpad)
@@ -1247,14 +1345,62 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret,
     return f
 
 
+def pack_for_kernel(data, meta, qf, table, t_min=1e-3, interpret=False,
+                    cull=None, accel=None):
+    """Build every per-scene kernel operand ONCE: the f32 coefficient
+    tables (the differentiable leaves the custom VJP scatters into), the
+    joined shading table, accel structures, and the cached custom-vjp
+    callable.
+
+    Callers that invoke the kernel inside a bounce loop (wavefront spans,
+    the lockstep integrator) should call this BEFORE the loop and pass the
+    result as ``closest_hit_pallas(..., prepacked=...)``: it keeps the
+    per-scene packing ops out of the loop body (XLA's loop passes were
+    measured to blow span compile up ~20x on them), and under reverse-mode
+    AD the pack VJP runs once instead of per bounce.
+    """
+    sph_tbl = pack_spheres(data, meta)
+    quad_tbl = pack_quads(data, meta, qf)
+    joined = pack_joined_table(data, meta, table)
+    n_prims = (meta.n_spheres + meta.n_quads)
+    if accel is None:
+        if cull is not None:
+            accel = "cull" if cull else "none"
+        else:
+            accel = auto_accel(n_prims)
+    aaq_groups = ()
+    gen_tbl = jnp.zeros((0, K_LIN), jnp.float32)
+    gen_ids = jnp.zeros((0,), jnp.float32)
+    aaq_tbl = jnp.zeros((0, AAQ_K), jnp.float32)
+    aab_tbl = jnp.zeros((0, AAB_K), jnp.float32)
+    if accel == "none" and meta.n_quads and (aaq_groups_of(meta) or meta.aab):
+        aaq_tbl, aaq_groups = pack_aaq(data, meta)
+        gen_tbl, gen_ids = pack_quads_general(data, meta, qf)
+        aab_tbl = pack_aab(data, meta)
+    if accel == "bvh":
+        cbox = cluster_tree(cluster_boxes(data, meta, qf))
+    elif accel == "cull":
+        cbox = cluster_boxes(data, meta, qf)
+    else:
+        cbox = None
+    fn = _closest_hit_vjp(sph_tbl.shape[0] // (2 * CK),
+                          quad_tbl.shape[0] // (6 * CK),
+                          float(t_min), str(accel), bool(interpret),
+                          aaq_groups)
+    return fn, (sph_tbl, quad_tbl, joined, cbox, gen_tbl, gen_ids,
+                aaq_tbl, aab_tbl)
+
+
 def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
-                       interpret=False, cull=None, accel=None):
+                       interpret=False, cull=None, accel=None,
+                       prepacked=None):
     """Closest sphere/quad hit + joined shading row via the fused kernel.
 
     ``table`` is primtable.build_prim_table's join.  ``ro``/``rd`` are SoA
     V3 (render/vec.py) or [R,3] arrays.  Returns (best_t [R] with +inf
     misses, best_kind [R], best_idx [R], row_t [32, R]).  Rays are padded
-    to a TR multiple internally.
+    to a TR multiple internally.  ``prepacked`` is pack_for_kernel's
+    result, for callers that hoist table packing out of a bounce loop.
 
     ``accel`` selects the in-kernel acceleration: "none" (brute-force MXU
     scan, with axis-aligned quads — box/wall geometry — routed through a
@@ -1275,35 +1421,11 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
     zero = jnp.zeros(R, jnp.float32)
     rays = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, time, zero], axis=0)
     rays = jnp.pad(rays, ((0, 0), (0, rpad - R)))
-    sph_tbl = pack_spheres(data, meta)
-    quad_tbl = pack_quads(data, meta, qf)
-    joined = pack_joined_table(data, meta, table)
-    n_prims = (meta.n_spheres + meta.n_quads)
-    if accel is None:
-        if cull is not None:
-            accel = "cull" if cull else "none"
-        else:
-            accel = "none" if n_prims <= 8192 else "bvh"
-    aaq_groups = ()
-    gen_tbl = jnp.zeros((0, K_LIN), jnp.float32)
-    gen_ids = jnp.zeros((0,), jnp.float32)
-    aaq_tbl = jnp.zeros((0, AAQ_K), jnp.float32)
-    aab_tbl = jnp.zeros((0, AAB_K), jnp.float32)
-    if accel == "none" and meta.n_quads and (aaq_groups_of(meta) or meta.aab):
-        aaq_tbl, aaq_groups = pack_aaq(data, meta)
-        gen_tbl, gen_ids = pack_quads_general(data, meta, qf)
-        aab_tbl = pack_aab(data, meta)
-    if accel == "bvh":
-        cbox = cluster_tree(cluster_boxes(data, meta, qf))
-    elif accel == "cull":
-        cbox = cluster_boxes(data, meta, qf)
-    else:
-        cbox = None
-    fn = _closest_hit_vjp(sph_tbl.shape[0] // (2 * CK),
-                          quad_tbl.shape[0] // (6 * CK),
-                          float(t_min), str(accel), bool(interpret),
-                          aaq_groups)
-    t, kind, idx, row = fn(rays, sph_tbl, quad_tbl, joined, cbox,
-                           gen_tbl, gen_ids, aaq_tbl, aab_tbl)
+    if prepacked is None:
+        prepacked = pack_for_kernel(data, meta, qf, table, t_min=t_min,
+                                    interpret=interpret, cull=cull,
+                                    accel=accel)
+    fn, ops = prepacked
+    t, kind, idx, row = fn(rays, *ops)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]

@@ -51,6 +51,15 @@ def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
     basis = derive_basis(cam)
     qf = quad_frames(data)
     P = pixel_ids.shape[0]
+    prepacked = None
+    if use_pallas:
+        from .primtable import build_prim_table
+        from . import pallas_intersect as pal
+        # scene packing hoisted above the SAMPLE loop as well as the bounce
+        # loop (pack_for_kernel docstring)
+        table, _mat_cols = build_prim_table(data, meta, qf)
+        prepacked = pal.pack_for_kernel(data, meta, qf, table,
+                                        interpret=pallas_interpret)
 
     def sample_body(s, acc):
         sample_ids = jnp.full((P,), s, jnp.int32)
@@ -58,7 +67,8 @@ def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
                            sample_ids, chunk=chunk,
                            differentiable=differentiable,
                            use_pallas=use_pallas,
-                           pallas_interpret=pallas_interpret)
+                           pallas_interpret=pallas_interpret,
+                           prepacked=prepacked)
 
     acc = jax.lax.fori_loop(sample_offset, sample_offset + n_samples,
                             sample_body, jnp.zeros((P, 3), jnp.float32))

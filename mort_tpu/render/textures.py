@@ -143,18 +143,24 @@ def _base_value(data: SceneData, meta: SceneMeta, kind_arr, tid, u, v, p):
         img_ids = _take_rows(data.tex_image_id, tid, T)
         uc = jnp.clip(u, 0.0, 1.0)
         vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip V (textures.cuh:133-134)
+        exact = meta.images_u8_exact or (True,) * meta.n_images
         for img_id in range(meta.n_images):
-            img = data.images_packed[img_id]    # [H,W] u32 (SceneData note)
-            H, W = img.shape[0], img.shape[1]
+            H, W = data.images[img_id].shape[0], data.images[img_id].shape[1]
             i = jnp.clip((uc * W).astype(jnp.int32), 0, W - 1)
             j = jnp.clip((vc * H).astype(jnp.int32), 0, H - 1)
-            texel = img[j, i]                   # ONE gather per lane
-            val = jnp.stack(
-                [((texel >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32),
-                 ((texel >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32),
-                 (texel & jnp.uint32(0xFF)).astype(jnp.float32)],
-                axis=-1) / jnp.float32(255.0)   # f32 divide: bit-matches
-            # the u8/255 values the unpacked f32 images hold
+            if exact[img_id]:
+                img = data.images_packed[img_id]  # [H,W] u32 (SceneData note)
+                texel = img[j, i]                 # ONE gather per lane
+                val = jnp.stack(
+                    [((texel >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32),
+                     ((texel >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32),
+                     (texel & jnp.uint32(0xFF)).astype(jnp.float32)],
+                    axis=-1) / jnp.float32(255.0)  # f32 divide: bit-matches
+                # the u8/255 values the unpacked f32 images hold
+            else:
+                # float/HDR image: 8-bit packing would silently degrade it,
+                # so pay three per-channel gathers for full-precision texels
+                val = data.images[img_id][j, i]
             sel = (kinds == TEX_IMAGE) & (img_ids == img_id)
             out = jnp.where(sel[..., None], val, out)
 

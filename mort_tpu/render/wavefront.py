@@ -33,9 +33,11 @@ bounce_limit*W*H recursion scratch (mort.cu:712-725).
 
 Multi-chip
 ----------
-``render_wavefront(..., mesh=...)`` shards the task space over a 1-D
-``jax.sharding.Mesh`` with ``shard_map``: pixels are dealt round-robin to
-the shards (global pixel = local * n_shards + shard_id — interleaving
+``render_wavefront(..., mesh=...)`` shards the task space over a
+``jax.sharding.Mesh`` — 1-D ("rays") or the 2-D ("dcn", "ici")
+hosts-by-chips shape (parallel.sharding.make_mesh) — with ``shard_map``:
+the mesh axes flatten into one data-parallel axis and pixels are dealt
+round-robin to the shards (global pixel = local * n_shards + shard_id — interleaving
 balances the per-region cost variation across the image), the scene and
 camera are replicated (the analogue of the reference's __constant__
 upload), and the framebuffer is row-sharded; the forward pass needs ZERO
@@ -107,6 +109,13 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
     basis = derive_basis(cam)
     qf = quad_frames(data)
     table, mat_cols = build_prim_table(data, meta, qf)
+    # All per-scene kernel tables built ONCE per span, outside the bounce
+    # loop (pallas_intersect.pack_for_kernel docstring: packing inside the
+    # loop body was measured to blow span compile up ~20x).
+    prepacked = (pal.pack_for_kernel(data, meta, qf, table,
+                                     interpret=pallas_interpret,
+                                     accel=pallas_accel)
+                 if use_pallas else None)
     P = pool
 
     def to_global(local_pixel):
@@ -124,7 +133,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         if use_pallas:
             bt, bk, bi, row_t = pal.closest_hit_pallas(
                 data, meta, qf, table, ro, rd, tme,
-                interpret=pallas_interpret, accel=pallas_accel)
+                interpret=pallas_interpret, accel=pallas_accel,
+                prepacked=prepacked)
             if meta.media:
                 bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
                                         gpix, sample, bounce, T_MIN,
@@ -288,9 +298,14 @@ def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
     """
     from jax.sharding import PartitionSpec as P
     n = mesh.devices.size
+    axes = tuple(mesh.axis_names)   # ("rays",) or ("dcn", "ici")
 
     def per_device(data, cam, seed, fb, t0, t1):
-        sid = jax.lax.axis_index("rays").astype(jnp.int32)
+        # flattened outer-major shard index over every mesh axis — matches
+        # how P(axes) deals the leading dim across the device grid
+        sid = jnp.int32(0)
+        for ax in axes:
+            sid = sid * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
         fb, iters, useful = _span_core(
             data, cam, seed, fb, t0, t1, sid, meta=meta, pool=pool,
             chunk=chunk, window=window, use_pallas=use_pallas, spt=spt,
@@ -300,8 +315,8 @@ def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
         return fb, iters[None], useful[None]
 
     fn = jax.shard_map(per_device, mesh=mesh,
-                       in_specs=(P(), P(), P(), P("rays"), P(), P()),
-                       out_specs=(P("rays"), P("rays"), P("rays")),
+                       in_specs=(P(), P(), P(), P(axes), P(), P()),
+                       out_specs=(P(axes), P(axes), P(axes)),
                        check_vma=False)
     return jax.jit(fn, donate_argnums=(3,))
 
@@ -375,7 +390,7 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
             inter = np.zeros((n * per, 3), np.float32)
             inter[rows] = np.asarray(fb).reshape(WH, 3)
             fb = jnp.asarray(inter)
-        fb = jax.device_put(fb, NamedSharding(mesh, P("rays")))
+        fb = jax.device_put(fb, NamedSharding(mesh, P(tuple(mesh.axis_names))))
         repl = NamedSharding(mesh, P())
         data = jax.device_put(data, repl)
         cam_d = jax.device_put(cam, repl)

@@ -34,6 +34,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
+from .. import rng as rngm
+
 from .types import (
     MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_ISOTROPIC, MAT_LAMBERTIAN,
     MAT_METAL, OBJ_BVH, OBJ_CONSTANT_MEDIUM, OBJ_HITTABLE_LIST, OBJ_QUAD,
@@ -165,6 +167,11 @@ class SceneMeta:
     # (the winning face is the entry — or, for origins inside, exit — slab),
     # at ~1/3 the VPU ops of six independent window tests.
     aab: tuple = ()
+    # Per-image flag: True when 8-bit packing round-trips the texels
+    # bit-exactly (u8-sourced images — the reference's stb pipeline).  Float
+    # or HDR images supplied through World.images get False and are sampled
+    # from the f32 arrays instead of being silently quantized.
+    images_u8_exact: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -542,22 +549,34 @@ def _detect_aab(out_quads, aaq_class):
         k = 3 - u_ax - v_ax
         Q, u, v = out_quads[row][0], out_quads[row][1], out_quads[row][2]
         ext = [None, None, None]
+        mag = [0.0, 0.0, 0.0]
         ext[k] = float(Q[k])
-        ext[u_ax] = tuple(sorted((float(Q[u_ax]), float(Q[u_ax] + u[u_ax]))))
-        ext[v_ax] = tuple(sorted((float(Q[v_ax]), float(Q[v_ax] + v[v_ax]))))
-        faces.append((row, k, float(Q[k]), ext))
+        for a, vec in ((u_ax, u), (v_ax, v)):
+            ext[a] = tuple(sorted((float(Q[a]), float(Q[a] + vec[a]))))
+            # The window-end sum Q[a] + vec[a] carries roundoff at the scale
+            # of its OPERANDS (lo + (hi - lo) near zero cancels ~|lo|-sized
+            # terms), so the snap tolerance must scale with them.
+            mag[a] = max(abs(float(Q[a])), abs(float(vec[a])),
+                         abs(float(Q[a] + vec[a])))
+        faces.append((row, k, float(Q[k]), ext, mag))
         plane_coords[k].append(float(Q[k]))
 
     coords = [np.unique(np.asarray(c, np.float64)) for c in plane_coords]
 
-    def snap(axis, w):
+    def snap(axis, w, mag):
+        # Snapping exists only to absorb the f32 roundtrip error of the
+        # window-end sum Q[a] + u[a] — a few ulps at the magnitude of the
+        # sum's operands (``mag``), so the tolerance scales with them: a
+        # deliberate sub-1e-3 gap between small near-box faces must NOT be
+        # snapped closed, and sub-millimeter boxes must not be distorted.
         c = coords[axis]
         if c.size == 0:
             return w
         i = np.searchsorted(c, w)
         best = w
+        tol = 8.0 * 2.0 ** -23 * max(mag, abs(w), 1e-30)
         for j in (i - 1, i):
-            if 0 <= j < c.size and abs(c[j] - w) <= 1e-3 + 1e-5 * abs(c[j]):
+            if 0 <= j < c.size and abs(c[j] - w) <= tol:
                 best = float(c[j])
         return best
 
@@ -565,8 +584,9 @@ def _detect_aab(out_quads, aaq_class):
     # axes and w_* their snapped window intervals
     face_lookup = {}
     x_pairs = {}     # (w_y, w_z) -> list of (d, row) for plane-axis-0 faces
-    for row, k, d, ext in faces:
-        ext = [ext[a] if a == k else (snap(a, ext[a][0]), snap(a, ext[a][1]))
+    for row, k, d, ext, mag in faces:
+        ext = [ext[a] if a == k
+               else (snap(a, ext[a][0], mag[a]), snap(a, ext[a][1], mag[a]))
                for a in range(3)]
         a, b = [ax for ax in range(3) if ax != k]
         face_lookup.setdefault((k, ext[a], ext[b], d), row)
@@ -759,7 +779,25 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
 
     media_meta = tuple(MediumMeta(srows, qrows, mrow)
                        for srows, qrows, mrow, _d in fl.media_meta)
+    if len(media_meta) > rngm.MAX_MEDIA:
+        raise ValueError(
+            f"scene has {len(media_meta)} constant media; the packed RNG "
+            f"slot layout serves at most {rngm.MAX_MEDIA} (rng.SLOT_MEDIUM0: "
+            f"medium m reads word m of one philox block)")
     med_nid = np.array([-1.0 / m[3] for m in fl.media_meta] or [0.0], np.float32)
+
+    # 8-bit packing is only used when it is lossless (u8-sourced texels);
+    # float/HDR images keep the f32 gather path (see SceneMeta.images_u8_exact).
+    def _pack_u8(im):
+        return ((np.round(np.clip(im, 0.0, 1.0) * 255.0)
+                 .astype(np.uint32) << np.uint32([16, 8, 0]))
+                .sum(axis=-1, dtype=np.uint32))
+
+    def _u8_exact(im):
+        q = _pack_u8(im)
+        rt = np.stack([(q >> 16) & 0xFF, (q >> 8) & 0xFF, q & 0xFF],
+                      axis=-1).astype(np.float32) / np.float32(255.0)
+        return bool(np.array_equal(rt, np.asarray(im, np.float32)))
 
     # BVH reachability metadata (the build itself stays host-side; the device
     # accel is cluster culling — see the SceneData docstring note).
@@ -782,13 +820,10 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         tex_child_even=jnp.asarray(tex_child_even), tex_child_odd=jnp.asarray(tex_child_odd),
         tex_noise_scale=jnp.asarray(tex_noise_scale), tex_image_id=jnp.asarray(tex_image_id),
         images=tuple(jnp.asarray(im) for im in w.images),
-        images_packed=tuple(
-            jnp.asarray((np.round(np.clip(im, 0.0, 1.0) * 255.0)
-                         .astype(np.uint32) << np.uint32([16, 8, 0]))
-                        .sum(axis=-1, dtype=np.uint32))
-            for im in w.images),
+        images_packed=tuple(jnp.asarray(_pack_u8(im)) for im in w.images),
         med_neg_inv_density=jnp.asarray(med_nid),
     )
+    images_u8_exact = tuple(_u8_exact(im) for im in w.images)
     meta = SceneMeta(
         n_spheres=ns, n_quads=nq, any_moving=any_moving,
         mat_kind=tuple(w.mat_kind) or (MAT_LAMBERTIAN,),
@@ -798,5 +833,6 @@ def _compile_world(w: World) -> tuple[SceneData, SceneMeta]:
         use_bvh=bvh_mode, n_bvh_leaf_spheres=n_bvh_leaf_spheres,
         aaq_class=tuple(aaq_class),
         aab=aab,
+        images_u8_exact=images_u8_exact,
     )
     return data, meta

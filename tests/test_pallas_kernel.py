@@ -366,3 +366,130 @@ def test_vjp_gradients_match_xla_path_moving_and_media():
     for k in g_x:
         np.testing.assert_allclose(g_p[k], g_x[k], rtol=2e-4, atol=1e-6,
                                    err_msg=k)
+
+
+def test_fd_gradients_bvh_scale_geometry_and_ior():
+    """FD truth at production-accel scale for GEOMETRY (sphere center) and
+    dielectric ior — the parameters whose gradients flow through the
+    kernel's analytic t-recompute (_t_winner), not just the shading join.
+
+    Methodology (test_gradients._check_pixel_grads lifted to the kernel
+    path, which is reverse-mode only): per-pixel central FD images at two
+    step sizes give a silhouette/branch-flip stability mask — autodiff
+    computes the frozen-visibility interior derivative, so silhouette
+    pixels are EXPECTED to disagree and are excluded — then ONE vjp of an
+    FD-stable-weighted scalar loss is compared against the same weighting
+    of the FD image."""
+    from mort_tpu.render.renderer import radiance_for_pixels
+    from mort_tpu.parallel.sharding import _extract_diff
+
+    w = _mixed_world(n_sph=400, n_quad=260, moving=True)
+    # a big SMOOTH-textured hero sphere and a big glass sphere, placed WELL
+    # CLEAR of the 660-prim field (which occupies |xyz| ~< 10) with the
+    # camera right on them: geometry/ior FD needs unoccluded interior
+    # pixels with a real local derivative; the field still rides along in
+    # the packet-heap traversal every ray performs
+    # glass IN FRONT of the marble hero: the refracted direction lands on a
+    # smoothly varying texture, so d/d(ior) has a REAL interior derivative
+    # (against the constant-background sky it would be branch-flips only);
+    # bounce_limit must let through-glass paths reach the marble AND then
+    # the sky, or they die at the depth limit and contribute exactly zero
+    hero = w.sphere([0.0, 1.0, 30.0], 1.4, w.lambertian(w.noise_texture(0.5)))
+    w.sphere([0.5, 1.0, 32.2], 0.7, w.dielectric(1.5))
+    data, meta = w.compile()
+    assert meta.n_spheres + meta.n_quads > 512   # "bvh" auto accel
+    cam = make_camera(image_width=16, aspect_ratio=1.0,
+                      samples_per_pixel=4, bounce_limit=5,
+                      vfov=50, lookfrom=[0, 1, 33.8], lookat=[0, 1, 30])
+    pix = jnp.arange(cam.image_width * cam.image_height, dtype=jnp.int32)
+    # compiled row of the hero sphere (rows are Morton-permuted)
+    cent = np.asarray(data.sph_center)
+    hero_row = int(np.argmin(((cent - np.array([0.0, 1.0, 30.0])) ** 2).sum(1)))
+
+    def img_with(field, idx, eps):
+        arr = getattr(data, field)
+        d = data.replace(**{field: arr.at[idx].add(eps)})
+        out = radiance_for_pixels(d, meta, cam, jnp.uint32(5), pix,
+                                  differentiable=True, use_pallas=True,
+                                  pallas_interpret=True)
+        return np.asarray(out).sum(-1)           # [P] luma-ish
+
+    def fd_check(field, idx, e1):
+        fd1 = (img_with(field, idx, e1) - img_with(field, idx, -e1)) / (2 * e1)
+        e2 = e1 / 3.0
+        fd2 = (img_with(field, idx, e2) - img_with(field, idx, -e2)) / (2 * e2)
+        stable = (np.abs(fd1 - fd2)
+                  <= 0.07 * np.maximum(np.abs(fd1), np.abs(fd2)) + 1e-3)
+        wgt = np.where(stable, 1.0, 0.0).astype(np.float32)
+        if (np.abs(fd2) * wgt).max() < 1e-3:
+            return None                          # no stable interior signal
+        diff0 = _extract_diff(data)
+
+        def loss(diff):
+            d = data.replace(**diff)
+            img = radiance_for_pixels(d, meta, cam, jnp.uint32(5), pix,
+                                      differentiable=True, use_pallas=True,
+                                      pallas_interpret=True)
+            return jnp.sum(img.sum(-1) * jnp.asarray(wgt))
+
+        auto = float(np.asarray(jax.grad(loss)(diff0)[field])[idx])
+        want = float((fd2 * wgt).sum())
+        np.testing.assert_allclose(auto, want, rtol=0.1,
+                                   atol=0.05 * np.abs(fd2 * wgt).max(),
+                                   err_msg=f"{field}[{idx}]")
+        return True
+
+    # hero sphere center: >= 2 axes must have stable interior FD that
+    # matches the kernel-path autodiff
+    hits = 0
+    for ax in (0, 1, 2):
+        if fd_check("sph_center", (hero_row, ax), 2e-3):
+            hits += 1
+    assert hits >= 2, f"only {hits} checked sphere-center FD components"
+
+    # dielectric ior (the glass sphere's material row, found by ior value)
+    glass_row = int(np.argmax(np.asarray(data.mat_ior)))
+    assert fd_check("mat_ior", (glass_row,), 2e-3), "ior FD failed"
+
+
+def test_fd_gradient_through_train_step_cornell():
+    """FD truth through make_train_step itself on cornell over the 8-mesh:
+    the full production gradient path (sharded loss, GSPMD psum, diff-leaf
+    extract/merge) must return d(loss)/d(param) that matches central finite
+    differences of the step's own loss."""
+    from mort_tpu.parallel.sharding import make_mesh, make_train_step
+    from mort_tpu.render.renderer import render
+    from mort_tpu.scene import scenes as sc
+
+    world, cam = sc.cornell_box()
+    data, meta = world.compile()
+    cam = cam.replace(image_width=12, image_height=12, sqrt_spp=2,
+                      bounce_limit=6)
+    target = np.asarray(render(data, meta, cam)) * 0.9
+    step = make_train_step(meta, make_mesh(8))
+    loss0, grads = step(data, cam, target)
+    loss0 = float(loss0)
+    assert np.isfinite(loss0)
+
+    def loss_with(field, idx, eps):
+        arr = getattr(data, field)
+        d = data.replace(**{field: arr.at[idx].add(eps)})
+        l, _ = step(d, cam, target)
+        return float(l)
+
+    checked = 0
+    for field, idx, e1 in (
+            ("tex_color", (0, 0), 1e-2),         # emission/albedo leaves
+            ("mat_ior", (np.argmax(np.asarray(data.mat_ior)),), 2e-3),
+            ("quad_Q", (0, 0), 2e-2)):           # wall geometry
+        auto = float(np.asarray(grads[field])[idx])
+        f = lambda e: loss_with(field, idx, e)
+        fd1 = (f(e1) - f(-e1)) / (2 * e1)
+        fd2 = (f(e1 / 2) - f(-e1 / 2)) / e1
+        if abs(fd1 - fd2) > 0.05 * max(abs(fd1), abs(fd2)) + 1e-7:
+            continue                              # branch-flip unstable
+        np.testing.assert_allclose(auto, fd2, rtol=0.05, atol=1e-6,
+                                   err_msg=f"{field}[{idx}]")
+        if abs(fd2) > 1e-8:
+            checked += 1
+    assert checked >= 2, f"only {checked} stable FD components"

@@ -102,3 +102,37 @@ def test_sharded_grads(three_sphere_scene):
     for k in grads1:
         np.testing.assert_allclose(grads1[k], grads8[k], rtol=5e-3, atol=1e-5,
                                    err_msg=k)
+
+
+def test_2d_mesh_wavefront_bit_identical(three_sphere_scene):
+    """SURVEY §7 ("dcn","ici") 2-D mesh: the wavefront render over a 2x4
+    hosts-by-chips mesh is BIT-identical to the 1-D 8-mesh and the 1-device
+    render (the two axes flatten to one data-parallel pixel axis)."""
+    data, meta, cam = three_sphere_scene
+    mesh2d = make_mesh(shape=(2, 4))
+    assert mesh2d.axis_names == ("dcn", "ici")
+    img2d = np.asarray(render_wavefront(data, meta, cam, spt=2, mesh=mesh2d))
+    img1d = np.asarray(render_wavefront(data, meta, cam, spt=2,
+                                        mesh=make_mesh(8)))
+    img1 = np.asarray(render_wavefront(data, meta, cam, spt=2,
+                                       mesh=make_mesh(1)))
+    assert np.array_equal(img2d, img1d)
+    assert np.array_equal(img2d, img1)
+
+
+def test_2d_mesh_train_step_matches(three_sphere_scene):
+    """Gradient psum over the 2-D mesh (ICI-first, then DCN) must agree
+    with the 1-D 8-mesh and the single device."""
+    data, meta, cam = three_sphere_scene
+    target = np.asarray(render(data, meta, cam)) * 0.9
+
+    l1, g1 = jax.tree.map(np.asarray,
+                          make_train_step(meta, make_mesh(1))(data, cam, target))
+    l2d, g2d = jax.tree.map(
+        np.asarray,
+        make_train_step(meta, make_mesh(shape=(2, 4)))(data, cam, target))
+    assert np.isfinite(l2d)
+    np.testing.assert_allclose(l1, l2d, rtol=1e-4)
+    for k in g1:
+        np.testing.assert_allclose(g1[k], g2d[k], rtol=5e-3, atol=1e-5,
+                                   err_msg=k)

@@ -32,6 +32,7 @@ CPU backend forced (one process cannot serve both backends), cached in
 /tmp between runs.
 """
 
+import hashlib
 import json
 import os
 import subprocess
@@ -45,7 +46,26 @@ SPP = 16
 DEPTH = 10
 SEED_A = 69420
 SEED_B = 1337
-CACHE = "/tmp/mort_tpu_parity_ref.npz"
+
+
+def _cache_path():
+    """CPU-reference cache keyed by a digest of the source tree + config, so
+    a stale cache from an older code state can never corrupt the comparison."""
+    root = os.path.join(os.path.dirname(__file__), "..", "mort_tpu")
+    h = hashlib.sha256()
+    h.update(repr((SCENES, WIDTH, SPP, DEPTH, SEED_A)).encode())
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(fn.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return f"/tmp/mort_tpu_parity_ref_{h.hexdigest()[:16]}.npz"
+
+
+CACHE = _cache_path()
 
 NOISE_FACTOR = 1.3    # cross-backend diff <= 1.3x the same-spp MC noise
 NOISE_ABS = 0.01      # ... plus this absolute slack
@@ -119,8 +139,9 @@ def main():
         mean_cpu = want.mean(axis=(0, 1))
         mean_err = float(np.max(np.abs(mean_tpu - mean_cpu)
                                 / np.maximum(np.abs(mean_cpu), MEAN_ATOL)))
+        from mort_tpu.render.pallas_intersect import auto_accel
         n_prims = meta.n_spheres + meta.n_quads
-        accel = "bvh" if n_prims > 8192 else "none"
+        accel = auto_accel(n_prims)
         ok_noise = cross <= NOISE_FACTOR * noise + NOISE_ABS
         ok_mean = mean_err <= MEAN_RTOL
         ok = bool(ok_noise and ok_mean
