@@ -117,3 +117,56 @@ def test_stratification_reduces_variance():
     imgs = [np.asarray(render(data, meta, cam, seed=s)) for s in range(3)]
     spread = np.stack(imgs).std(0).mean()
     assert spread < 0.03
+
+
+def test_media_count_capped_at_compile():
+    """The packed RNG slot layout serves at most rng.MAX_MEDIA constant
+    media (medium m reads word m of one philox block); a scene exceeding
+    it must fail loudly at compile, not deep inside media_pass."""
+    import pytest
+    from mort_tpu import World
+    from mort_tpu.rng import MAX_MEDIA
+
+    w = World()
+    iso = w.lambertian(w.solid_color([0.5, 0.5, 0.5]))
+    for i in range(MAX_MEDIA + 1):
+        b = w.sphere([3.0 * i, 0, 0], 1.0, w.dielectric(1.5), skip=True)
+        w.constant_medium(b, 0.2, iso)
+    with pytest.raises(ValueError, match="constant media"):
+        w.compile()
+
+
+def test_float_image_texture_not_quantized():
+    """u8-sourced images ride the packed-u32 gather (bit-exact round trip);
+    a float image that is NOT u8-representable must keep full precision
+    via the f32 gather fallback instead of being silently quantized
+    (SceneMeta.images_u8_exact)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mort_tpu import World
+    from mort_tpu.render.textures import texture_value
+
+    val = np.float32(0.123456)           # not representable as k/255
+    img = np.full((4, 4, 3), val, np.float32)
+    w = World()
+    tex = w.image_texture(img)
+    w.sphere([0, 0, 0], 1.0, w.lambertian(tex))
+    data, meta = w.compile()
+    assert meta.images_u8_exact == (False,)
+
+    u = jnp.full((8,), 0.5); v = jnp.full((8,), 0.5)
+    p = jnp.zeros((8, 3))
+    out = np.asarray(texture_value(data, meta, jnp.full((8,), tex.row,
+                                                        jnp.int32), u, v, p))
+    np.testing.assert_array_equal(out, val)
+
+    # and a u8-sourced image still round-trips exactly through the packed path
+    img8 = (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5)
+    w2 = World()
+    tex2 = w2.image_texture(img8)
+    w2.sphere([0, 0, 0], 1.0, w2.lambertian(tex2))
+    d2, m2 = w2.compile()
+    assert m2.images_u8_exact == (True,)
+    out2 = np.asarray(texture_value(d2, m2, jnp.full((8,), tex2.row,
+                                                     jnp.int32), u, v, p))
+    assert np.isfinite(out2).all()

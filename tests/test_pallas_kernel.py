@@ -493,3 +493,40 @@ def test_fd_gradient_through_train_step_cornell():
         if abs(fd2) > 1e-8:
             checked += 1
     assert checked >= 2, f"only {checked} stable FD components"
+
+
+def test_limb_packed_dot_algebra():
+    """The K-packed limb formulation itself (table columns stacked per
+    _PAIR_A, ray-basis rows per _PAIR_B, one bf16-input dot) must
+    reproduce the f64 coefficient products to ~2^-24 relative.  Run
+    EAGERLY on purpose: under jit XLA's simplifier may eliminate the
+    x - f32(bf16(x)) limb pattern (the reason interpret-mode kernels use
+    plain f32 dots, _coef_dot docstring); eager execution pins the pure
+    algebra, and the real Mosaic kernel's bit-exact agreement with this
+    algebra is verified on hardware each round (tools/tpu_parity.py)."""
+    rng = np.random.RandomState(11)
+    rows, K = 64, pal.K_LIN
+    # coefficient magnitudes spanning the scene-1 regime (|c| ~ 1e3,
+    # |c^2 - r^2| ~ 1e6) plus O(1) terms
+    tbl = np.zeros((rows, K), np.float32)
+    tbl[:, :pal.K_LIVE] = (rng.randn(rows, pal.K_LIVE)
+                           * np.power(10.0, rng.uniform(-1, 6, (rows, 1)))
+                           ).astype(np.float32)
+    rays = np.zeros((8, 128), np.float32)
+    rays[:3] = rng.uniform(-60, 60, (3, 128))     # ro
+    d = rng.randn(3, 128); rays[3:6] = d / np.linalg.norm(d, axis=0)
+    rays[6] = rng.rand(128)
+
+    A = pal._limb_pack_rows(jnp.asarray(tbl))
+    B = pal._ray_basis_packed(jnp.asarray(rays))
+    got = np.asarray(pal._dotp(A, B), np.float64)
+
+    ref = (np.asarray(tbl, np.float64)
+           @ np.asarray(pal._ray_basis(jnp.asarray(rays)), np.float64))
+    scale = np.maximum(np.abs(np.asarray(tbl, np.float64)).max(axis=1,
+                                                                keepdims=True)
+                       * np.abs(np.asarray(pal._ray_basis(
+                           jnp.asarray(rays)), np.float64)).max(axis=0),
+                       1e-30)
+    rel = np.abs(got - ref) / scale
+    assert rel.max() < 2.0 ** -20, rel.max()
