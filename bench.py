@@ -71,10 +71,10 @@ def _bench_scene(idx, frames, quick, span_paths=None):
     times, stats = [], None
     for i in range(frames):
         t0 = time.perf_counter()
-        render_wavefront(data, meta, cam, seed=69420 + i,
-                         **kw).block_until_ready()
+        img, stats = render_wavefront(data, meta, cam, seed=69420 + i,
+                                      return_stats=True, **kw)
+        img.block_until_ready()
         times.append(time.perf_counter() - t0)
-        stats = render_wavefront.last_stats
         print(f"  frame {i}: {times[-1]:.3f}s", file=sys.stderr)
     wall = sorted(times)[len(times) // 2]   # median
 

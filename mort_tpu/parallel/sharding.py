@@ -68,7 +68,23 @@ def make_mesh(n_devices=None, devices=None, shape=None) -> Mesh:
         if hosts * chips > len(devices):
             raise ValueError(f"mesh shape {shape} needs {hosts * chips} "
                              f"devices, have {len(devices)}")
-        grid = np.asarray(devices[:hosts * chips]).reshape(hosts, chips)
+        # jax.devices() order is NOT guaranteed host-major on multi-host
+        # topologies; group by process first so every "ici" row stays on
+        # one host and collectives ride ICI as designed (single-process
+        # grids — all tests here — are unchanged by the stable grouping).
+        by_proc: dict = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        ordered = [d for p in sorted(by_proc) for d in by_proc[p]]
+        grid = np.asarray(ordered[:hosts * chips]).reshape(hosts, chips)
+        if len(by_proc) > 1:
+            for row in grid:
+                procs = {d.process_index for d in row}
+                if len(procs) != 1:
+                    raise ValueError(
+                        f"an 'ici' row spans processes {sorted(procs)}; "
+                        f"use shape=(process_count, local_device_count) "
+                        f"so each row maps to one host's chips")
         return Mesh(grid, ("dcn", "ici"))
     if n_devices is not None:
         devices = devices[:n_devices]

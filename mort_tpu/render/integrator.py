@@ -34,7 +34,7 @@ from .vec import V3
 def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
           basis: CameraBasis, seed, pixel_ids, sample_ids, chunk=512,
           differentiable=False, use_pallas=False, pallas_interpret=False,
-          prepacked=None):
+          pallas_accel=None, prepacked=None):
     """Trace one camera sample for a batch of pixels; returns radiance [R,3].
 
     ``differentiable=True`` uses a static-trip-count fori_loop (reverse-mode
@@ -54,7 +54,8 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
         # table packing hoisted out of the bounce loop (pack_for_kernel
         # docstring); under AD the pack VJP also runs once, not per bounce
         prepacked = pal.pack_for_kernel(data, meta, qf, table,
-                                        interpret=pallas_interpret)
+                                        interpret=pallas_interpret,
+                                        accel=pallas_accel)
     bg = cam.background
 
     def body(state):
@@ -64,7 +65,8 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
             from . import pallas_intersect as pal
             bt, bk, bi, row_t = pal.closest_hit_pallas(
                 data, meta, qf, table, ro, rd, time,
-                interpret=pallas_interpret, prepacked=prepacked)
+                interpret=pallas_interpret, accel=pallas_accel,
+                prepacked=prepacked)
             if meta.media:
                 bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
                                         pixel_ids, sample_ids, bounce, T_MIN,

@@ -701,30 +701,48 @@ def _aaq_group_best(aaq_ref, desc, ro_c, rd_c, ird_c, mask_c, t_min):
     return _min_with_ids(jnp.where(valid, t, BIG), ids)
 
 
-def _aab_best(aab_ref, n_box, ro_c, rd_c, ird_c, mask_c, t_min):
+# Slab substitute for 1/rd on near-parallel axes (|rd_k| < 1e-8, the
+# per-face denominator-guard zone): a huge finite magnitude so that the
+# EXACT per-pair difference (lo - ro_k) keeps its sign and the slab
+# interval degenerates to "non-constraining when the origin is inside the
+# slab, box-missing when outside" — the same outcomes as an explicit
+# containment test, without its ~7 VPU ops per (box, axis, ray).  Finite
+# (not inf) so (lo - ro) == 0 never produces NaN.  |t| values reach
+# |lo - ro| * 1e18 <= ~1e23, far inside f32 range.
+_PARALLEL_IRD = 1.0e18
+
+
+def _aab_best(aab_ref, n_box, ro_c, rd_c, t_min):
     """Closest face of the closed axis-aligned boxes, as one slab test.
 
     For a closed box the per-face quad merge reduces to: the entry slab
     (t_enter > t_min) or, for origins inside the box, the exit slab — the
     same arithmetic per axis as the aaq face test, so candidates agree
     with the per-face path.  Axes with |rd_k| < 1e-8 mirror the per-face
-    denominator guard: their faces cannot win and their window constrains
-    by containment of the origin.  ~40 VPU broadcast ops per (box, ray)
-    versus ~110 for six independent window tests.
+    denominator guard through the _PARALLEL_IRD substitution: their faces
+    cannot win a finite-t pick and their slab constrains by the sign of
+    the exact (lo - ro_k) differences — equivalent to origin containment
+    except on the measure-zero configuration {|rd_k| < 1e-8 AND ro_k
+    exactly on a face plane}, where the old explicit containment test was
+    inclusive and this one can reject the box.  ~46 VPU broadcast ops per
+    (box, ray) versus ~110 for six independent window tests.
     """
     tbl = aab_ref[pl.ds(0, n_box), :]
     live = tbl[:, 12:13] > 0.0
+    ird_m = []
+    for c in rd_c:                             # per-ray rows, ~5 ops each
+        m = jnp.abs(c) >= 1e-8
+        ird_m.append(jnp.where(m, 1.0 / jnp.where(m, c, 1.0),
+                               jnp.where(c >= 0, _PARALLEL_IRD,
+                                         -_PARALLEL_IRD)))
     mns, mxs, flo, fhi = [], [], [], []
     for k in range(3):
         lo = tbl[:, k:k + 1]
         hi = tbl[:, 3 + k:4 + k]
-        t0 = (lo - ro_c[k]) * ird_c[k]
-        t1 = (hi - ro_c[k]) * ird_c[k]
-        mn = jnp.minimum(t0, t1)
-        mx = jnp.maximum(t0, t1)
-        inside = (ro_c[k] >= lo) & (ro_c[k] <= hi)
-        mns.append(jnp.where(mask_c[k], mn, jnp.where(inside, -BIG, BIG)))
-        mxs.append(jnp.where(mask_c[k], mx, jnp.where(inside, BIG, -BIG)))
+        t0 = (lo - ro_c[k]) * ird_m[k]
+        t1 = (hi - ro_c[k]) * ird_m[k]
+        mns.append(jnp.minimum(t0, t1))
+        mxs.append(jnp.maximum(t0, t1))
         flo.append(tbl[:, 6 + 2 * k:7 + 2 * k])
         fhi.append(tbl[:, 7 + 2 * k:8 + 2 * k])
     t_en = jnp.maximum(jnp.maximum(mns[0], mns[1]), mns[2])
@@ -733,21 +751,19 @@ def _aab_best(aab_ref, n_box, ro_c, rd_c, ird_c, mask_c, t_min):
     t_hit = jnp.where(use_en, t_en, t_ex)
     valid = live & (t_en <= t_ex) & (t_hit > t_min)
 
-    def pick(t_star, slabs, lo_when_pos):
-        # face identity: the axis achieving t_star; rays moving +k enter
-        # through the lo_k face and exit through hi_k (and vice versa).
-        # Exact edge/corner hits satisfy t_star == slabs[k] for several
-        # axes — resolve to the LOWEST face registry row, matching the
-        # per-face path's (t, id) merge tie-break.
-        fid = jnp.full_like(t_star, 2.0e9)
-        for k in range(3):
-            fk = jnp.where((rd_c[k] > 0) == lo_when_pos, flo[k], fhi[k])
-            fid = jnp.minimum(fid, jnp.where(t_star == slabs[k], fk,
-                                             jnp.float32(2.0e9)))
-        return fid
-
-    ids = jnp.where(use_en, pick(t_en, mns, True), pick(t_ex, mxs, False))
-    ids = jnp.where(valid, ids, jnp.float32(2.0e9))
+    # face identity in ONE pass over the axes (entry and exit picks share
+    # it via slab_hit): the axis achieving t_hit; rays moving +k enter
+    # through the lo_k face and exit through hi_k (and vice versa).  Exact
+    # edge/corner ties resolve to the LOWEST face registry row, matching
+    # the per-face path's (t, id) merge tie-break.
+    fid = jnp.full_like(t_hit, 2.0e9)
+    for k in range(3):
+        pos = rd_c[k] > 0                      # (1, TR), hoisted per tile
+        slab_hit = jnp.where(use_en, mns[k], mxs[k])
+        fk = jnp.where(pos == use_en, flo[k], fhi[k])
+        fid = jnp.minimum(fid, jnp.where(slab_hit == t_hit, fk,
+                                         jnp.float32(2.0e9)))
+    ids = jnp.where(valid, fid, jnp.float32(2.0e9))
     return _min_with_ids(jnp.where(valid, t_hit, BIG), ids)
 
 
@@ -1040,8 +1056,7 @@ def _make_kernel(n_sph_chunks, n_quad_chunks, t_min, accel, tree_L=0,
                 cand.append(_quad_gen_best(gen_ref, gen_ids_ref, n_gen_sub,
                                            B, t_min))
             if n_aab:
-                cand.append(_aab_best(aab_ref, n_aab, ro_c, rd_c, ird_c,
-                                      mask_c, t_min))
+                cand.append(_aab_best(aab_ref, n_aab, ro_c, rd_c, t_min))
             for desc in aaq_groups:
                 cand.append(_aaq_group_best(aaq_ref, desc, ro_c, rd_c,
                                             ird_c, mask_c, t_min))
@@ -1387,8 +1402,12 @@ def pack_for_kernel(data, meta, qf, table, t_min=1e-3, interpret=False,
                           quad_tbl.shape[0] // (6 * CK),
                           float(t_min), str(accel), bool(interpret),
                           aaq_groups)
+    # baked call parameters ride along so closest_hit_pallas can reject a
+    # conflicting prepacked (the baked values would otherwise silently win)
+    baked = {"t_min": float(t_min), "interpret": bool(interpret),
+             "accel": str(accel)}
     return fn, (sph_tbl, quad_tbl, joined, cbox, gen_tbl, gen_ids,
-                aaq_tbl, aab_tbl)
+                aaq_tbl, aab_tbl), baked
 
 
 def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
@@ -1425,7 +1444,22 @@ def closest_hit_pallas(data, meta, qf, table, ro, rd, time, t_min=1e-3,
         prepacked = pack_for_kernel(data, meta, qf, table, t_min=t_min,
                                     interpret=interpret, cull=cull,
                                     accel=accel)
-    fn, ops = prepacked
+    else:
+        fn_, ops_, baked = prepacked
+        # reject conflicting call-site arguments (the baked values win the
+        # kernel call, so a silent mismatch would be a correctness trap)
+        assert baked["t_min"] == float(t_min), \
+            f"prepacked t_min {baked['t_min']} != call t_min {t_min}"
+        assert baked["interpret"] == bool(interpret), \
+            f"prepacked interpret={baked['interpret']} != call {interpret}"
+        if accel is not None:
+            assert baked["accel"] == str(accel), \
+                f"prepacked accel={baked['accel']!r} != call {accel!r}"
+        elif cull is not None:
+            want = "cull" if cull else "none"
+            assert baked["accel"] == want, \
+                f"prepacked accel={baked['accel']!r} != cull={cull}"
+    fn, ops = prepacked[0], prepacked[1]
     t, kind, idx, row = fn(rays, *ops)
     t = jnp.where(t >= BIG, jnp.inf, t)
     return t[:R], kind[:R], idx[:R], row[:, :R]

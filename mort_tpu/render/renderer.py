@@ -40,7 +40,7 @@ def _pick_ray_batch(meta: SceneMeta, n_pixels: int) -> int:
 def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
                         pixel_ids, chunk=512, differentiable=False,
                         sample_offset=0, n_samples=None, use_pallas=False,
-                        pallas_interpret=False):
+                        pallas_interpret=False, pallas_accel=None):
     """Mean radiance over ``n_samples`` stratified samples for a flat pixel
     id array [P] -> [P,3].  The building block for both the single-chip
     batch loop and the sharded multi-chip path; ``sample_offset`` enables
@@ -59,7 +59,8 @@ def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
         # loop (pack_for_kernel docstring)
         table, _mat_cols = build_prim_table(data, meta, qf)
         prepacked = pal.pack_for_kernel(data, meta, qf, table,
-                                        interpret=pallas_interpret)
+                                        interpret=pallas_interpret,
+                                        accel=pallas_accel)
 
     def sample_body(s, acc):
         sample_ids = jnp.full((P,), s, jnp.int32)
@@ -68,6 +69,7 @@ def radiance_for_pixels(data: SceneData, meta: SceneMeta, cam: Camera, seed,
                            differentiable=differentiable,
                            use_pallas=use_pallas,
                            pallas_interpret=pallas_interpret,
+                           pallas_accel=pallas_accel,
                            prepacked=prepacked)
 
     acc = jax.lax.fori_loop(sample_offset, sample_offset + n_samples,

@@ -285,7 +285,7 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
                       pallas_accel=pallas_accel, no_defocus=no_defocus)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
                   pallas_interpret=False, pallas_accel=None,
                   no_defocus=False):
@@ -332,19 +332,26 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
                      max_paths_per_call=200_000_000, fb=None, task_range=None,
                      scrub_nan=True, window=None, use_pallas=None, spt=None,
                      mesh=None, layer_range=None,
-                     pallas_interpret=False, pallas_accel=None):
+                     pallas_interpret=False, pallas_accel=None,
+                     return_stats=False):
     """Wavefront render; returns linear [H,W,3] (row 0 = bottom).
 
     The task space — W*H pixels x ceil(spp/spt) sample-chunks — is split
     into spans of at most ``max_paths_per_call`` camera paths per device
     execution.  ``fb`` / ``task_range`` (in chunk-task units) allow external
-    accumulation (progressive / checkpoint).
+    accumulation (progressive / checkpoint); pass ``scrub_nan=False`` to get
+    the raw resumable accumulator back (canonical pixel order at any mesh
+    size).
 
     ``mesh``: optional 1-D device mesh (parallel.sharding.make_mesh); pixels
     are round-robin sharded over it and the render is bit-identical for any
     mesh size (module docstring).  ``layer_range`` (in sample-chunk layers)
     replaces ``task_range`` for sharded/progressive accumulation; spans are
     then layer-aligned so each pixel deposits exactly once per layer.
+
+    ``return_stats``: return ``(img, stats)`` where stats carries iteration
+    counts, useful-segment totals, occupancy inputs and (mesh mode) the
+    per-shard useful-segment balance.  No module-level state is mutated.
     """
     W, H = cam.image_width, cam.image_height
     WH = W * H
@@ -414,12 +421,11 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
                                 else shard_useful + useful)
         stats["per_shard_useful"] = ([] if shard_useful is None
                                      else shard_useful.tolist())
-        render_wavefront.last_stats = stats
         out = np.asarray(fb)[rows]          # undo round-robin interleave
-        render_wavefront.last_fb = out      # canonical accumulator (resume)
         if scrub_nan:
             out = np.where(np.isnan(out), 0.0, out)
-        return jnp.asarray(out.reshape(H, W, 3))
+        img = jnp.asarray(out.reshape(H, W, 3))
+        return (img, stats) if return_stats else img
 
     if pool is None:
         pool = default_pool(meta, WH)
@@ -450,8 +456,7 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         stats["iterations"] += int(iters)
         stats["useful_segments"] += int(useful)
         stats["slots_executed"] += int(iters) * int(window) * int(pool)
-    render_wavefront.last_stats = stats
-    render_wavefront.last_fb = fb
     if scrub_nan:
         fb = jnp.where(jnp.isnan(fb), 0.0, fb)
-    return fb.reshape(H, W, 3)
+    img = fb.reshape(H, W, 3)
+    return (img, stats) if return_stats else img

@@ -108,8 +108,9 @@ class SceneData:
     # acceleration structure is derived in-trace from the Morton-ordered
     # primitive rows (render/pallas_intersect.py) — per-128-row AABB cluster
     # boxes for the "cull" mode and an implicit binary heap over the cluster
-    # sequence (cluster_tree) for the "bvh" packet traversal that large
-    # scenes (>512 prims) default to.  Deriving boxes from the
+    # sequence (cluster_tree) for the "bvh" packet traversal that very large
+    # scenes (> BVH_MIN_PRIMS = 8192; beyond every reference scene) default
+    # to.  Deriving boxes from the
     # differentiable rows (then stop_gradient-ing them) keeps SceneData the
     # single source of truth under optimisation; a per-ray traversal stack
     # over single primitives (objects.cuh:664-723) is replaced by a

@@ -117,15 +117,16 @@ def test_bvh_parity_forced_small():
 
 
 def test_bvh_parity_large_mixed_moving():
-    """>512 primitives — the size class where accel auto-resolves to "bvh"
-    (closest_hit_pallas), i.e. the production path for scenes 8/9.  Mixed
-    spheres (some moving) + quads; semantics must match objects.cuh:664-723
-    closest-hit incl. tie rules (vs the XLA intersector oracle)."""
+    """660 mixed prims (some moving) under FORCED accel="bvh".  The
+    production auto policy routes everything <= BVH_MIN_PRIMS (8192) —
+    including scenes 8/9's ~3.4k — through "none"+fast paths; the packet
+    heap is the >8192 reserve and must stay parity-green at this scale
+    (objects.cuh:664-723 closest-hit incl. tie rules, vs the XLA
+    intersector oracle)."""
     w = _mixed_world(n_sph=400, n_quad=260, moving=True)
     data, meta = w.compile()
-    assert meta.n_spheres + meta.n_quads > 512
-    # auto selection must pick bvh for this size (pallas_intersect policy)
-    _check_parity(w, accel=None)
+    assert pal.auto_accel(meta.n_spheres + meta.n_quads) == "none"
+    _check_parity(w, accel="bvh")
 
 
 def test_bvh_parity_spread_spheres():
@@ -272,7 +273,7 @@ def test_all_miss():
 # custom VJP: gradients through the kernel
 # ---------------------------------------------------------------------------
 
-def _grads_for(w, cam, use_pallas):
+def _grads_for(w, cam, use_pallas, pallas_accel=None):
     from mort_tpu.render.renderer import radiance_for_pixels
     from mort_tpu.parallel.sharding import _extract_diff
 
@@ -285,7 +286,8 @@ def _grads_for(w, cam, use_pallas):
         img = radiance_for_pixels(d, meta, cam, jnp.uint32(5), pix,
                                   differentiable=True,
                                   use_pallas=use_pallas,
-                                  pallas_interpret=True)
+                                  pallas_interpret=True,
+                                  pallas_accel=pallas_accel)
         return jnp.mean(img * jnp.asarray([0.6, 0.3, 0.1]))
 
     val, grads = jax.value_and_grad(loss)(diff0)
@@ -311,18 +313,20 @@ def test_vjp_gradients_match_xla_path():
 
 
 def test_vjp_gradients_bvh_scale():
-    """Gradients through the production accel path: >512 prims resolves
-    accel to "bvh", so reverse mode runs the custom VJP behind the packet
-    heap traversal.  (a) grads match the XLA intersector's, (b) the grad of
-    a scalar loss matches central finite differences on a smooth parameter
-    (albedo — multilinear in the path estimator, so FD is clean)."""
+    """Gradients through the FORCED "bvh" accel at 660-prim scale: reverse
+    mode runs the custom VJP behind the packet heap traversal (the
+    production auto policy would route this size through "none"; the heap
+    path keeps VJP coverage here).  (a) grads match the XLA intersector's,
+    (b) the grad of a scalar loss matches central finite differences on a
+    smooth parameter (albedo — multilinear in the path estimator, so FD is
+    clean)."""
     w = _mixed_world(n_sph=400, n_quad=260, moving=True)
     data, meta = w.compile()
-    assert meta.n_spheres + meta.n_quads > 512
+    assert pal.auto_accel(meta.n_spheres + meta.n_quads) == "none"
     cam = make_camera(image_width=8, samples_per_pixel=4, bounce_limit=3,
                       vfov=60, lookfrom=[0, 1, 8], lookat=[0, 0, 0])
     v_x, g_x = _grads_for(w, cam, use_pallas=False)
-    v_p, g_p = _grads_for(w, cam, use_pallas=True)
+    v_p, g_p = _grads_for(w, cam, use_pallas=True, pallas_accel="bvh")
     np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
     some_signal = 0.0
     for k in g_x:
@@ -341,7 +345,8 @@ def test_vjp_gradients_bvh_scale():
         d = data.replace(tex_color=data.tex_color.at[0, 0].add(eps))
         img = radiance_for_pixels(d, meta, cam, jnp.uint32(5), pix,
                                   differentiable=True, use_pallas=True,
-                                  pallas_interpret=True)
+                                  pallas_interpret=True,
+                                  pallas_accel="bvh")
         return float(jnp.mean(img * jnp.asarray([0.6, 0.3, 0.1])))
 
     e = 1e-2
@@ -369,9 +374,11 @@ def test_vjp_gradients_match_xla_path_moving_and_media():
 
 
 def test_fd_gradients_bvh_scale_geometry_and_ior():
-    """FD truth at production-accel scale for GEOMETRY (sphere center) and
-    dielectric ior — the parameters whose gradients flow through the
-    kernel's analytic t-recompute (_t_winner), not just the shading join.
+    """FD truth under FORCED accel="bvh" at 662-prim scale for GEOMETRY
+    (sphere center) and dielectric ior — the parameters whose gradients
+    flow through the kernel's analytic t-recompute (_t_winner), not just
+    the shading join.  (Production auto policy routes this size through
+    "none"; forcing "bvh" keeps the heap path's FD coverage.)
 
     Methodology (test_gradients._check_pixel_grads lifted to the kernel
     path, which is reverse-mode only): per-pixel central FD images at two
@@ -397,7 +404,7 @@ def test_fd_gradients_bvh_scale_geometry_and_ior():
     hero = w.sphere([0.0, 1.0, 30.0], 1.4, w.lambertian(w.noise_texture(0.5)))
     w.sphere([0.5, 1.0, 32.2], 0.7, w.dielectric(1.5))
     data, meta = w.compile()
-    assert meta.n_spheres + meta.n_quads > 512   # "bvh" auto accel
+    assert pal.auto_accel(meta.n_spheres + meta.n_quads) == "none"
     cam = make_camera(image_width=16, aspect_ratio=1.0,
                       samples_per_pixel=4, bounce_limit=5,
                       vfov=50, lookfrom=[0, 1, 33.8], lookat=[0, 1, 30])
@@ -411,7 +418,8 @@ def test_fd_gradients_bvh_scale_geometry_and_ior():
         d = data.replace(**{field: arr.at[idx].add(eps)})
         out = radiance_for_pixels(d, meta, cam, jnp.uint32(5), pix,
                                   differentiable=True, use_pallas=True,
-                                  pallas_interpret=True)
+                                  pallas_interpret=True,
+                                  pallas_accel="bvh")
         return np.asarray(out).sum(-1)           # [P] luma-ish
 
     def fd_check(field, idx, e1):
@@ -429,7 +437,8 @@ def test_fd_gradients_bvh_scale_geometry_and_ior():
             d = data.replace(**diff)
             img = radiance_for_pixels(d, meta, cam, jnp.uint32(5), pix,
                                       differentiable=True, use_pallas=True,
-                                      pallas_interpret=True)
+                                      pallas_interpret=True,
+                                      pallas_accel="bvh")
             return jnp.sum(img.sum(-1) * jnp.asarray(wgt))
 
         auto = float(np.asarray(jax.grad(loss)(diff0)[field])[idx])

@@ -49,8 +49,9 @@ def test_wavefront_sharded_balance(three_sphere_scene):
     """Round-robin pixel interleaving balances per-shard work: the useful
     path-segment counts of the 8 shards must be within 20% of each other."""
     data, meta, cam = three_sphere_scene
-    render_wavefront(data, meta, cam, spt=2, mesh=make_mesh(8))
-    useful = np.asarray(render_wavefront.last_stats["per_shard_useful"])
+    _, stats = render_wavefront(data, meta, cam, spt=2, mesh=make_mesh(8),
+                                return_stats=True)
+    useful = np.asarray(stats["per_shard_useful"])
     assert useful.shape == (8,)
     assert useful.min() > 0
     assert useful.max() <= 1.2 * useful.min(), useful

@@ -45,8 +45,8 @@ def run_mesh():
     # layer-checkpointed accumulation, interrupted and resumed on a
     # different mesh size (the multi-host elastic path)
     t0 = time.perf_counter()
-    render_wavefront(data, meta, cam, seed=7, mesh=mesh8, layer_range=(0, 1))
-    part = render_wavefront.last_fb
+    part = np.asarray(render_wavefront(data, meta, cam, seed=7, mesh=mesh8,
+                                       layer_range=(0, 1), scrub_nan=False))
     img = np.asarray(render_wavefront(data, meta, cam, seed=7, mesh=mesh2,
                                       fb=part, layer_range=(1, 1)))
     whole = np.asarray(render_wavefront(data, meta, cam, seed=7, mesh=mesh8))
@@ -90,11 +90,12 @@ def run_chip():
                      max_paths_per_call=80_000_000).block_until_ready()
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    img = render_wavefront(data, meta, cam, seed=8,
-                           max_paths_per_call=80_000_000)
+    img, st = render_wavefront(data, meta, cam, seed=8,
+                               max_paths_per_call=80_000_000,
+                               return_stats=True)
     img.block_until_ready()
     fwd_s = time.perf_counter() - t0
-    st = dict(render_wavefront.last_stats)
+    st = dict(st)
     st.pop("per_shard_useful", None)
 
     # sharded train step (1-chip mesh): fwd+bwd+psum at a training-scale

@@ -111,10 +111,12 @@ def main():
                          max_paths_per_call=80_000_000).block_until_ready()
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        render_wavefront(data, meta, cam_s, seed=2, spt=spt, window=window,
-                         max_paths_per_call=80_000_000).block_until_ready()
+        img, st = render_wavefront(data, meta, cam_s, seed=2, spt=spt,
+                                   window=window,
+                                   max_paths_per_call=80_000_000,
+                                   return_stats=True)
+        img.block_until_ready()
         dt = time.perf_counter() - t0
-        st = render_wavefront.last_stats
         occ = st["useful_segments"] / max(st["slots_executed"], 1)
         print(f"span spt={spt:2d} window={window}: {dt:7.3f} s "
               f"({n_paths/dt/1e6:5.2f}M paths/s, occ {occ:.3f}, "

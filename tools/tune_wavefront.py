@@ -41,10 +41,10 @@ def main():
                 .block_until_ready()
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            render_wavefront(data, meta, cam_s, seed=2, **kw) \
-                .block_until_ready()
+            img, st = render_wavefront(data, meta, cam_s, seed=2,
+                                       return_stats=True, **kw)
+            img.block_until_ready()
             dt = time.perf_counter() - t0
-            st = render_wavefront.last_stats
             occ = st["useful_segments"] / max(st["slots_executed"], 1)
             print(f"  spt={spt:2d} w={window} span={span_m:3d}M: {dt:7.3f}s "
                   f"{n_paths/dt/1e6:6.2f}M paths/s occ {occ:.3f} "
