@@ -157,7 +157,7 @@ def main():
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--scene", type=int, default=1)
     ap.add_argument("--all", action="store_true",
-                    help="bench reference workloads (scenes 1,6,7,8) + the "
+                    help="bench every reference scene (1-10) + the "
                          "gradient step; write BENCH_SCENES.json")
     ap.add_argument("--grad", action="store_true",
                     help="bench only the gradient train step")
@@ -178,7 +178,12 @@ def main():
 
     if args.all:
         recs = []
-        for idx, frames in ((1, args.frames), (6, 2), (7, 2), (8, 2)):
+        # every reference scene at code-true geometry: the four heavy
+        # headline workloads (1/6/7/8) plus the light ones (2/3/4/5/9/10 —
+        # seconds each) so each scene has a throughput artifact
+        for idx, frames in ((1, args.frames), (2, 2), (3, 2), (4, 2),
+                            (5, 2), (6, 2), (7, 2), (8, 2), (9, 2),
+                            (10, 2)):
             recs.append(_bench_scene(idx, frames, args.quick,
                                      span_paths=args.span_paths))
         recs.append(_bench_grad_step(args.quick))

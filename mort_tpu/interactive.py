@@ -107,27 +107,58 @@ def _ansi_preview(u8_img, max_cols=80):
 
 
 def view(data, meta, cam: Camera, commands, seed=DEFAULT_SEED,
-         out_pattern=None, ansi=False, log=sys.stderr):
+         out_pattern=None, ansi=False, log=sys.stderr, preview_spt=None):
     """Headless viewer loop: apply a command stream, render a frame each.
 
     ``commands``: iterable of ('key', 'w'|'a'|'s'|'d') or
     ('mouse', dx, dy) or ('frame',) events.  Returns the last frame.
     Per-frame timing is logged like the reference's avg-ms print
     (mort.cu:110-119).
+
+    ``preview_spt``: interactive-rate progressive mode.  Instead of
+    re-rendering all spp per frame (the reference recomputes every sample
+    every frame, camera.cuh:186-194 — seconds per frame at production
+    spp), each 'frame' event renders ONE sample-chunk layer of
+    ``preview_spt`` stratified samples via the wavefront's layer-aligned
+    spans and accumulates; any camera input resets the accumulator.  A
+    held-still camera therefore refines to the full-spp image while
+    movement stays at one-layer latency — the interactive intent of
+    gpu_anim.h:136-150 without its full-frame recompute.
     """
     ctl = CameraController(cam)
     frame = None
     total = 0.0
     frames = 0
+    spp = int(np.asarray(cam.sqrt_spp)) ** 2
+    if preview_spt:
+        preview_spt = min(int(preview_spt), spp)
+    n_layers = -(-spp // preview_spt) if preview_spt else 1
+    fb = None
+    layer = 0
     for i, event in enumerate(commands):
         if event[0] == "key":
             ctl.key(event[1])
+            fb, layer = None, 0          # camera moved: restart refinement
             continue
         if event[0] == "mouse":
             ctl.mouse_drag(event[1], event[2])
+            fb, layer = None, 0
             continue
         t0 = time.perf_counter()
-        frame = np.asarray(render_wavefront(data, meta, ctl.cam, seed=seed))
+        if preview_spt:
+            if layer < n_layers:
+                img = render_wavefront(data, meta, ctl.cam, seed=seed,
+                                       spt=preview_spt, fb=fb,
+                                       layer_range=(layer, layer + 1),
+                                       scrub_nan=False)
+                fb = img.reshape(-1, 3)
+                layer += 1
+            done = min(layer * preview_spt, spp)
+            frame = np.asarray(fb).reshape(img.shape) * (spp / done)
+            frame = np.where(np.isnan(frame), 0.0, frame)
+        else:
+            frame = np.asarray(render_wavefront(data, meta, ctl.cam,
+                                                seed=seed))
         dt = time.perf_counter() - t0
         total += dt
         frames += 1

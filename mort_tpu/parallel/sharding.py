@@ -167,7 +167,7 @@ def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512, use_pallas=None):
             diff_data, data, cam, target, pixel_ids, seed)
         return loss, grads
 
-    def run(data, cam, target_img, seed=DEFAULT_SEED):
+    def _prep(data, cam, target_img, seed):
         W, H = cam.image_width, cam.image_height
         n = mesh.devices.size
         pix, WH = _padded_pixels(W, H, n)
@@ -179,8 +179,19 @@ def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512, use_pallas=None):
         data_dev = jax.device_put(data, repl)
         cam_dev = jax.device_put(cam, repl)
         diff = _extract_diff(data_dev)
-        return step(diff, data_dev, cam_dev, tgt_dev, pix_dev, jnp.uint32(seed))
+        return diff, data_dev, cam_dev, tgt_dev, pix_dev, jnp.uint32(seed)
 
+    def run(data, cam, target_img, seed=DEFAULT_SEED):
+        return step(*_prep(data, cam, target_img, seed))
+
+    def lower_hlo(data, cam, target_img, seed=DEFAULT_SEED) -> str:
+        """Compiled-HLO text of the step — for the collective audit
+        (tests/test_sharding.py): the forward must carry zero inter-device
+        collectives; the backward exactly the gradient psums."""
+        return step.lower(*_prep(data, cam, target_img, seed)) \
+            .compile().as_text()
+
+    run.lower_hlo = lower_hlo
     return run
 
 

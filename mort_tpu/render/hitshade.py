@@ -45,16 +45,33 @@ class BounceOut:
     new_dir: Any     # V3
     scatter_ok: Any  # [R] bool
     skip_pdf: Any    # [R] bool
+    # defer_tex mode only (None otherwise): lanes whose fallback-texture
+    # factor was left OUT of ``weight`` — the caller owes beta a multiply
+    # by texture_value(tex_tid, tex_u, tex_v, p) before the lane's next
+    # radiance contribution (wavefront stall-resolve machinery).
+    tex_pending: Any = None   # [R] bool
+    tex_u: Any = None         # [R]
+    tex_v: Any = None         # [R]
+    tex_tid: Any = None       # [R] i32
 
 
 def finalize_and_shade(data: SceneData, meta: SceneMeta, qf: QuadFrames,
                        table, mat_cols, ro: V3, rd: V3, time, best_t,
                        best_kind, best_idx, seed, pixel, sample, bounce,
-                       row_t=None) -> BounceOut:
+                       row_t=None, defer_tex=False) -> BounceOut:
     """``row_t``: optional precomputed [32, R] *transposed* joined rows (the
     pallas kernel emits them via an in-VMEM one-hot matmul, ray-minor so
     each column read below is a contiguous [R] slice); when None, gathered
-    here from ``table``."""
+    here from ``table``.
+
+    ``defer_tex``: skip the fallback texture evaluation (image gathers +
+    perlin octaves — measured 34% of the scene-8 wavefront round when run
+    for every lane every bounce) and instead report flagged lanes via
+    BounceOut.tex_pending/tex_u/tex_v/tex_tid with attenuation 1; the
+    caller multiplies texture_value into beta later (the wavefront does it
+    once per deposit round over stalled lanes).  Only valid when no
+    emissive material carries a fallback texture (the caller checks —
+    emission would need the texel immediately)."""
     R = best_t.shape[0]
     Ns = data.sph_center.shape[0]
     hit = best_kind != K_NONE
@@ -165,16 +182,22 @@ def finalize_and_shade(data: SceneData, meta: SceneMeta, qf: QuadFrames,
     emission_color = colv(pt.COL_E)
 
     # ---- fallback textures (image/noise/non-bakeable) ----
+    tex_pending = tex_tid = None
     if meta.n_images > 0 or meta.n_noise > 0:
-        from .textures import texture_value
         flag = col(pt.COL_FALLBACK) > 0.0
         tid = col(pt.COL_TID).astype(jnp.int32)
-        fb_val = V3.from_rows(texture_value(data, meta, tid, uu, vv,
-                                            p.to_rows()))
-        attenuation = v3.where(flag, fb_val, attenuation)
-        if MAT_DIFFUSE_LIGHT in kinds_present:
-            emission_color = v3.where(flag & (kind == MAT_DIFFUSE_LIGHT),
-                                      fb_val, emission_color)
+        if defer_tex:
+            # texel factor owed to beta by the caller; attenuation 1 here
+            attenuation = v3.where(flag, 1.0, attenuation)
+            tex_pending, tex_tid = flag & hit, tid
+        else:
+            from .textures import texture_value
+            fb_val = V3.from_rows(texture_value(data, meta, tid, uu, vv,
+                                                p.to_rows()))
+            attenuation = v3.where(flag, fb_val, attenuation)
+            if MAT_DIFFUSE_LIGHT in kinds_present:
+                emission_color = v3.where(flag & (kind == MAT_DIFFUSE_LIGHT),
+                                          fb_val, emission_color)
 
     # emission: front faces only (materials.cuh:157-162)
     emission = v3.where(front, emission_color, 0.0)
@@ -253,4 +276,8 @@ def finalize_and_shade(data: SceneData, meta: SceneMeta, qf: QuadFrames,
     weight = v3.where(skip_pdf, attenuation, diffuse_weight)
     new_dir = v3.where(skip_pdf, skip_dir, gen_dir)
     return BounceOut(hit=hit, p=p, emission=emission, weight=weight,
-                     new_dir=new_dir, scatter_ok=scatter_ok, skip_pdf=skip_pdf)
+                     new_dir=new_dir, scatter_ok=scatter_ok,
+                     skip_pdf=skip_pdf, tex_pending=tex_pending,
+                     tex_u=uu if tex_pending is not None else None,
+                     tex_v=vv if tex_pending is not None else None,
+                     tex_tid=tex_tid)

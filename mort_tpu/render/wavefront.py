@@ -87,7 +87,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
                task_end, shard_id, *, meta: SceneMeta, pool: int, chunk: int,
                window: int, use_pallas: bool, spt: int, per: int,
                n_shards: int, pallas_interpret: bool = False,
-               pallas_accel=None, no_defocus: bool = False):
+               pallas_accel=None, no_defocus: bool = False,
+               defer_tex: bool = False):
     """Run the wavefront over local chunk-tasks [task_start, task_end);
     accumulate into fb (donated).  Splitting a render across calls keeps
     single device executions short (the tunneled TPU kills very long
@@ -100,7 +101,21 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
     shard placement — local pixel p maps to global pixel p*n_shards+shard_id
     (identity when n_shards == 1).  RNG and camera rays always use the
     global pixel id, so renders are sharding-invariant.
-    """
+
+    ``defer_tex``: stall-resolve fallback textures.  The image-texel
+    gather is serialized ~10 ns/lane on TPU and the 7-octave perlin is
+    VPU-heavy; evaluated for every lane every bounce they were measured at
+    34% of the whole scene-8 round.  In this mode a lane hitting a
+    fallback-textured surface samples its scatter direction as usual
+    (direction draws never need the albedo), banks the pdf ratio into
+    beta, records (tid, u, v, p) and STALLS; once per deposit round ONE
+    texture_value pass resolves every stalled lane (beta *= texel) and
+    wakes it.  The per-path product of factors is unchanged — only the
+    f32 association order differs from the lockstep integrator (mult is
+    not associative), so renders stay within MC-noise agreement and
+    remain bit-identical across window/pool/mesh choices.  Requires no
+    emissive material with a fallback texture (render_wavefront checks;
+    emission would need the texel immediately)."""
     W, H = cam.image_width, cam.image_height
     WH = W * H
     spp = cam.sqrt_spp * cam.sqrt_spp
@@ -127,9 +142,14 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
 
     def bounce_step(carry):
         (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum, beta,
-         useful) = carry
+         useful) = carry[:12]
+        if defer_tex:
+            stalled, pu, pv, ptid, pp = carry[12:]
+            act = alive & ~stalled
+        else:
+            act = alive
         gpix = to_global(pixel)
-        useful = useful + jnp.sum(alive.astype(jnp.uint32))
+        useful = useful + jnp.sum(act.astype(jnp.uint32))
         if use_pallas:
             bt, bk, bi, row_t = pal.closest_hit_pallas(
                 data, meta, qf, table, ro, rd, tme,
@@ -146,11 +166,11 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
             row_t = None
         out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
                                  tme, bt, bk, bi, seed, gpix, sample,
-                                 bounce, row_t=row_t)
+                                 bounce, row_t=row_t, defer_tex=defer_tex)
 
-        miss = alive & ~out.hit
-        lterm = alive & out.hit & ~out.scatter_ok
-        cont = alive & out.hit & out.scatter_ok
+        miss = act & ~out.hit
+        lterm = act & out.hit & ~out.scatter_ok
+        cont = act & out.hit & out.scatter_ok
 
         L = L + v3.where(miss, beta * V3(bg[0], bg[1], bg[2]), 0.0)
         L = L + v3.where(lterm, beta * out.emission, 0.0)
@@ -161,9 +181,21 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         bounce = jnp.where(cont, bounce + 1, bounce)
         path_on = cont & (bounce < cam.bounce_limit)
 
+        if defer_tex:
+            # lane owes beta a texel factor: record the lookup and stall
+            # until the round-end resolve (module docstring); a path that
+            # just died at the depth limit owes nothing (its tail
+            # contributes 0, camera.cuh:161-163)
+            new_pend = path_on & out.tex_pending
+            stalled = stalled | new_pend
+            pu = jnp.where(new_pend, out.tex_u, pu)
+            pv = jnp.where(new_pend, out.tex_v, pv)
+            ptid = jnp.where(new_pend, out.tex_tid, ptid)
+            pp = v3.where(new_pend, out.p, pp)
+
         # fold the finished path into the lane's chunk sum and respawn on
         # the next sample of the chunk, inside the window
-        path_done = alive & ~path_on
+        path_done = act & ~path_on
         Lsum = Lsum + v3.where(path_done, L, 0.0)
         more = path_done & (sample + 1 < send)
         sample = jnp.where(more, sample + 1, sample)
@@ -176,12 +208,18 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         L = v3.where(more, 0.0, L)
         beta = v3.where(more, 1.0, beta)
         alive = path_on | more
+        if defer_tex:
+            alive = alive | stalled
+            return (alive, pixel, sample, send, ro, rd, tme, bounce, L,
+                    Lsum, beta, useful, stalled, pu, pv, ptid, pp)
         return (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum,
                 beta, useful)
 
     def body(state):
         (counter, fb, alive, pend, pixel, sample, send, ro, rd, tme, bounce,
-         L, Lsum, beta, iters, useful) = state
+         L, Lsum, beta, iters, useful) = state[:16]
+        if defer_tex:
+            stalled, pu, pv, ptid, pp = state[16:]
 
         # --- deposit chunk sums finished in the previous window ---
         # non-depositing lanes get an out-of-bounds index (NOT -1, which jnp
@@ -228,16 +266,31 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         # --- a window of bounce steps ---
         carry = (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum,
                  beta, useful)
+        if defer_tex:
+            carry = carry + (stalled, pu, pv, ptid, pp)
         carry = jax.lax.fori_loop(0, window, lambda _j, c: bounce_step(c),
                                   carry)
         (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum, beta,
-         useful) = carry
+         useful) = carry[:12]
         iters = iters + 1
+
+        if defer_tex:
+            # round-end resolve: ONE fallback-texture pass pays the owed
+            # beta factors of every lane stalled during the window
+            stalled, pu, pv, ptid, pp = carry[12:]
+            from .textures import texture_value
+            tex = V3.from_rows(texture_value(data, meta, ptid, pu, pv,
+                                             pp.to_rows()))
+            beta = v3.where(stalled, beta * tex, beta)
+            stalled = jnp.zeros_like(stalled)
 
         # lanes whose chunk completed during the window deposit next round
         pend = entering & ~alive
-        return (counter, fb, alive, pend, pixel, sample, send, ro, rd, tme,
-                bounce, L, Lsum, beta, iters, useful)
+        out_state = (counter, fb, alive, pend, pixel, sample, send, ro, rd,
+                     tme, bounce, L, Lsum, beta, iters, useful)
+        if defer_tex:
+            out_state = out_state + (stalled, pu, pv, ptid, pp)
+        return out_state
 
     def cond(state):
         counter, _fb, alive, pend = state[0], state[1], state[2], state[3]
@@ -261,34 +314,62 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         jnp.uint32(0),
         jnp.uint32(0),
     )
+    if defer_tex:
+        state = state + (
+            jnp.zeros(P, bool),            # stalled
+            jnp.zeros(P, jnp.float32),     # pending u
+            jnp.zeros(P, jnp.float32),     # pending v
+            jnp.zeros(P, jnp.int32),       # pending texture row
+            V3.zeros(P),                   # pending hit point
+        )
     state = jax.lax.while_loop(cond, body, state)
-    return jnp.stack(state[1], axis=-1), state[-2], state[-1]
+    return jnp.stack(state[1], axis=-1), state[14], state[15]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("meta", "pool", "chunk", "window",
                                     "use_pallas", "spt", "per",
                                     "pallas_interpret", "pallas_accel",
-                                    "no_defocus"),
+                                    "no_defocus", "defer_tex"),
                    donate_argnums=(3,))
 def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
                     task_end, *, meta: SceneMeta, pool: int, chunk: int,
                     window: int, use_pallas: bool, spt: int, per: int,
                     pallas_interpret: bool = False, pallas_accel=None,
-                    no_defocus: bool = False):
+                    no_defocus: bool = False, defer_tex: bool = False):
     """Single-device span (n_shards == 1)."""
     return _span_core(data, cam, seed, fb, task_start, task_end,
                       jnp.int32(0), meta=meta, pool=pool, chunk=chunk,
                       window=window, use_pallas=use_pallas, spt=spt,
                       per=per, n_shards=1,
                       pallas_interpret=pallas_interpret,
-                      pallas_accel=pallas_accel, no_defocus=no_defocus)
+                      pallas_accel=pallas_accel, no_defocus=no_defocus,
+                      defer_tex=defer_tex)
+
+
+def _defer_tex_ok(data: SceneData, meta: SceneMeta) -> bool:
+    """Static gate for the stall-resolve texture mode: the scene must have
+    fallback textures at all, and none of them on an emissive material
+    (emission needs the texel at hit time, primtable COL_E docstring)."""
+    if meta.n_images == 0 and meta.n_noise == 0:
+        return False
+    from ..scene.types import MAT_DIFFUSE_LIGHT, TEX_CHECKER, TEX_SOLID
+    mk = np.asarray(meta.mat_kind)
+    tk = np.asarray(meta.tex_kind)
+    tid = np.asarray(data.mat_tex)[:len(mk)]
+    tkind = tk[tid]
+    ce = np.asarray(data.tex_child_even)[tid]
+    co = np.asarray(data.tex_child_odd)[tid]
+    checker_solid = ((tkind == TEX_CHECKER)
+                     & (tk[ce] == TEX_SOLID) & (tk[co] == TEX_SOLID))
+    fallback = (tkind != TEX_SOLID) & ~checker_solid
+    return not bool(((mk == MAT_DIFFUSE_LIGHT) & fallback).any())
 
 
 @functools.lru_cache(maxsize=16)
 def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
                   pallas_interpret=False, pallas_accel=None,
-                  no_defocus=False):
+                  no_defocus=False, defer_tex=False):
     """jitted shard_map'ed span over a 1-D 'rays' mesh.
 
     Scene/camera replicated; fb row-sharded; zero collectives (the forward
@@ -311,7 +392,7 @@ def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
             chunk=chunk, window=window, use_pallas=use_pallas, spt=spt,
             per=per, n_shards=n,
             pallas_interpret=pallas_interpret, pallas_accel=pallas_accel,
-            no_defocus=no_defocus)
+            no_defocus=no_defocus, defer_tex=defer_tex)
         return fb, iters[None], useful[None]
 
     fn = jax.shard_map(per_device, mesh=mesh,
@@ -376,6 +457,7 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
     # disk math in respawn (unobservable — the oracle ignores those draws
     # at defocus 0; see camera.get_rays_soa)
     no_defocus = bool(np.asarray(cam.defocus_angle) <= 0.0)
+    defer_tex = _defer_tex_ok(data, meta)
     stats = {"iterations": 0, "useful_segments": 0, "slots_executed": 0}
 
     if mesh is not None:
@@ -404,7 +486,7 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         span = _sharded_span(mesh, meta, int(pool), int(chunk), int(window),
                              bool(use_pallas), int(spt), int(per),
                              bool(pallas_interpret), pallas_accel,
-                             no_defocus)
+                             no_defocus, defer_tex)
         tasks_per_call = max(pool, max_paths_per_call // spt)
         shard_useful = None
         for c in range(l0, l1):
@@ -452,7 +534,8 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
             meta=meta, pool=int(pool), chunk=int(chunk),
             window=int(window), use_pallas=bool(use_pallas), spt=int(spt),
             per=WH, pallas_interpret=bool(pallas_interpret),
-            pallas_accel=pallas_accel, no_defocus=no_defocus)
+            pallas_accel=pallas_accel, no_defocus=no_defocus,
+            defer_tex=defer_tex)
         stats["iterations"] += int(iters)
         stats["useful_segments"] += int(useful)
         stats["slots_executed"] += int(iters) * int(window) * int(pool)

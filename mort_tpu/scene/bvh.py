@@ -13,6 +13,17 @@ an index permutation and keep primitive rows stable.
 The pure-NumPy builder below is the reference implementation; an optional
 C++ builder (mort_tpu/native) accelerates large scenes and is verified
 against this one in tests.
+
+ROLE (see DEVIATIONS.md section 3): this builder is a **reference-topology
+parity fixture**, not part of the production render path.  The device
+acceleration structure is the Morton-cluster heap derived in-trace
+(render/pallas_intersect.cluster_tree); scene compilation consumes only
+the *leaf sets* of registered BVHs (reachability semantics,
+world.cuh:105-171), never this tree.  The builder exists so the
+reference's exact build semantics (including its stable-sort/midpoint
+topology) remain executable and cross-checked (NumPy vs C++ bit-identical,
+tests/test_native.py) — the contract a user porting >8192-prim scenes
+from the reference can validate against.
 """
 
 from __future__ import annotations

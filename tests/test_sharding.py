@@ -105,6 +105,70 @@ def test_sharded_grads(three_sphere_scene):
                                    err_msg=k)
 
 
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+
+def _collective_counts(hlo_text: str) -> dict:
+    """Occurrences of each inter-device collective in compiled HLO text
+    (counting -start variants once, not their matching -done)."""
+    import re
+    return {op: len(re.findall(rf"{op}(?:-start)?\(", hlo_text))
+            for op in _COLLECTIVE_OPS}
+
+
+def test_hlo_sharded_forward_zero_collectives(three_sphere_scene):
+    """The scaling-efficiency claim, statically: the sharded wavefront
+    forward is embarrassingly parallel — its compiled HLO over the 8-device
+    mesh must contain ZERO inter-device collectives (the analogue of the
+    reference's independent pixel grid, mort.cu:98-106).  Audited for both
+    the XLA intersector and the (interpret-mode) Pallas kernel path."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mort_tpu.render.wavefront import _sharded_span
+
+    data, meta, cam = three_sphere_scene
+    mesh = make_mesh(8)
+    n = 8
+    WH = cam.image_width * cam.image_height
+    per = -(-WH // n)
+    fb = jax.device_put(jnp.zeros((n * per, 3), jnp.float32),
+                        NamedSharding(mesh, P(tuple(mesh.axis_names))))
+    repl = NamedSharding(mesh, P())
+    data_d = jax.device_put(data, repl)
+    cam_d = jax.device_put(cam, repl)
+    for use_pallas in (False, True):
+        span = _sharded_span(mesh, meta, 1024, 512, 3, use_pallas, 2, per,
+                             use_pallas)   # pallas_interpret = use_pallas
+        hlo = span.lower(data_d, cam_d, jnp.uint32(1), fb,
+                         jnp.uint32(0), jnp.uint32(per)).compile().as_text()
+        counts = _collective_counts(hlo)
+        assert all(v == 0 for v in counts.values()), \
+            f"use_pallas={use_pallas}: forward HLO has collectives {counts}"
+
+
+def test_hlo_train_step_psum_only(three_sphere_scene):
+    """The train step's compiled HLO must communicate ONLY through gradient
+    all-reduces (the psums of the replicated scene leaves — possibly
+    combined by XLA) plus the scalar loss reduction: no all-gather /
+    all-to-all / collective-permute / reduce-scatter, and at least one
+    all-reduce.  This pins the communication pattern the ICI/DCN scaling
+    model in PERF.md assumes."""
+    from mort_tpu.parallel.sharding import _DIFF_FIELDS
+
+    data, meta, cam = three_sphere_scene
+    target = np.asarray(render(data, meta, cam)) * 0.9
+    step = make_train_step(meta, make_mesh(8))
+    hlo = step.lower_hlo(data, cam, target)
+    counts = _collective_counts(hlo)
+    assert counts["all-reduce"] >= 1, counts
+    # loss-mean + grad psums; XLA may combine some, never exceed leaves+1
+    assert counts["all-reduce"] <= len(_DIFF_FIELDS) + 1, counts
+    for op in ("all-gather", "reduce-scatter", "collective-permute",
+               "all-to-all"):
+        assert counts[op] == 0, counts
+
+
 def test_2d_mesh_wavefront_bit_identical(three_sphere_scene):
     """SURVEY §7 ("dcn","ici") 2-D mesh: the wavefront render over a 2x4
     hosts-by-chips mesh is BIT-identical to the 1-D 8-mesh and the 1-device

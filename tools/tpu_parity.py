@@ -22,8 +22,10 @@ two renderers of the same integral:
 A real defect (wrong geometry, wrong shading, wrong RNG) fails both.
 The reference's imgs/ screenshots are its informal fixtures (SURVEY.md
 section 4); TPU_PARITY.json is the formal analogue for the TPU fast path:
-scenes 1/4/6/8 rendered with exactly the code the benchmarks time
-(scene 8 exercises the slab/aaq fast path at its production accel).
+ALL TEN scenes rendered with exactly the code the benchmarks time
+(scene 8 exercises the slab/aaq fast path at its production accel), plus
+a depth-50 row (the reference's deep-bounce regime) and forced
+"bvh"/"cull" rows so every kernel accel path is chip-validated.
 
     python tools/tpu_parity.py            # on the TPU host
 
@@ -40,12 +42,38 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-SCENES = (1, 4, 6, 8)
 WIDTH = 120
 SPP = 16
 DEPTH = 10
 SEED_A = 69420
 SEED_B = 1337
+
+# The r05 gate: ALL TEN reference scenes at the standard config, plus a
+# depth-50 row (the bounce-depth regime the reference's heavy scenes run,
+# mort.cu:436/492 — deep-bounce accumulation) and forced-accel rows so the
+# limb-packed MXU dot is chip-validated under the "cull" and "bvh" paths
+# too (the auto policy routes every reference scene through "none").
+CONFIGS = (
+    [{"scene": i, "depth": DEPTH, "accel": None} for i in range(1, 11)]
+    + [{"scene": 6, "depth": 50, "accel": None},
+       {"scene": 1, "depth": DEPTH, "accel": "bvh"},
+       {"scene": 1, "depth": DEPTH, "accel": "cull"}]
+)
+
+
+def _cfg_label(cfg):
+    lab = str(cfg["scene"])
+    if cfg["depth"] != DEPTH:
+        lab += f"@d{cfg['depth']}"
+    if cfg["accel"]:
+        lab += f"@{cfg['accel']}"
+    return lab
+
+
+def _ref_key(cfg):
+    # the CPU reference depends on scene+depth only (accel is a TPU-side
+    # kernel mode; the CPU lockstep reference is accel-independent)
+    return f"{cfg['scene']}@d{cfg['depth']}"
 
 
 def _cache_path():
@@ -53,7 +81,8 @@ def _cache_path():
     a stale cache from an older code state can never corrupt the comparison."""
     root = os.path.join(os.path.dirname(__file__), "..", "mort_tpu")
     h = hashlib.sha256()
-    h.update(repr((SCENES, WIDTH, SPP, DEPTH, SEED_A)).encode())
+    keys = tuple(sorted({_ref_key(c) for c in CONFIGS}))
+    h.update(repr((keys, WIDTH, SPP, SEED_A)).encode())
     for dirpath, dirnames, filenames in sorted(os.walk(root)):
         dirnames.sort()
         for fn in sorted(filenames):
@@ -73,11 +102,11 @@ MEAN_RTOL = 0.02      # per-channel image-mean agreement
 MEAN_ATOL = 0.005
 
 
-def _cam_for(cam):
+def _cam_for(cam, depth=DEPTH):
     h = max(1, int(WIDTH * cam.image_height / cam.image_width))
     import numpy as np
     return cam.replace(image_width=WIDTH, image_height=h,
-                       sqrt_spp=int(np.sqrt(SPP)), bounce_limit=DEPTH)
+                       sqrt_spp=int(np.sqrt(SPP)), bounce_limit=depth)
 
 
 def render_cpu_refs():
@@ -92,12 +121,14 @@ def render_cpu_refs():
     from mort_tpu.scene import scenes as sc
 
     out = {}
-    for idx in SCENES:
-        world, cam = sc.build_scene(idx)
+    for key in sorted({_ref_key(c) for c in CONFIGS}):
+        idx, depth = key.split("@d")
+        world, cam = sc.build_scene(int(idx))
         data, meta = world.compile()
-        img = np.asarray(render(data, meta, _cam_for(cam), seed=SEED_A))
-        out[str(idx)] = img
-        print(f"  cpu ref scene {idx}: {img.shape}", file=sys.stderr)
+        img = np.asarray(render(data, meta, _cam_for(cam, int(depth)),
+                                seed=SEED_A))
+        out[key] = img
+        print(f"  cpu ref {key}: {img.shape}", file=sys.stderr)
     np.savez(CACHE, **out)
 
 
@@ -122,16 +153,18 @@ def main():
     backend = jax.default_backend()
     results = []
     ok_all = True
-    for idx in SCENES:
+    for cfg in CONFIGS:
+        idx = cfg["scene"]
         world, cam = sc.build_scene(idx)
         data, meta = world.compile()
-        cam = _cam_for(cam)
-        kw = dict(use_pallas=(backend == "tpu"))
+        cam = _cam_for(cam, cfg["depth"])
+        kw = dict(use_pallas=(backend == "tpu"),
+                  pallas_accel=cfg["accel"])
         img_a = np.asarray(render_wavefront(data, meta, cam, seed=SEED_A,
                                             **kw))
         img_b = np.asarray(render_wavefront(data, meta, cam, seed=SEED_B,
                                             **kw))
-        want = refs[str(idx)]
+        want = refs[_ref_key(cfg)]
 
         cross = float(np.abs(img_a - want).mean())
         noise = float(np.abs(img_a - img_b).mean())
@@ -141,16 +174,18 @@ def main():
                                 / np.maximum(np.abs(mean_cpu), MEAN_ATOL)))
         from mort_tpu.render.pallas_intersect import auto_accel
         n_prims = meta.n_spheres + meta.n_quads
-        accel = auto_accel(n_prims)
+        accel = cfg["accel"] or auto_accel(n_prims)
         ok_noise = cross <= NOISE_FACTOR * noise + NOISE_ABS
         ok_mean = mean_err <= MEAN_RTOL
         ok = bool(ok_noise and ok_mean
                   and np.isfinite(img_a).all() and np.isfinite(img_b).all())
         ok_all &= ok
         results.append({
-            "scene": idx, "width": cam.image_width,
-            "height": cam.image_height, "spp": SPP, "depth": DEPTH,
-            "accel": accel, "n_prims": int(n_prims),
+            "scene": idx, "label": _cfg_label(cfg),
+            "width": cam.image_width,
+            "height": cam.image_height, "spp": SPP, "depth": cfg["depth"],
+            "accel": accel, "forced_accel": bool(cfg["accel"]),
+            "n_prims": int(n_prims),
             "cross_backend_mean_abs": round(cross, 5),
             "mc_noise_mean_abs": round(noise, 5),
             "cross_over_noise": round(cross / max(noise, 1e-9), 3),
@@ -158,7 +193,7 @@ def main():
             "ok_noise": bool(ok_noise), "ok_mean": bool(ok_mean),
             "ok": ok,
         })
-        print(f"  scene {idx} ({accel}, {n_prims} prims): "
+        print(f"  scene {_cfg_label(cfg)} ({accel}, {n_prims} prims): "
               f"cross={cross:.4f} noise={noise:.4f} "
               f"ratio={cross/max(noise,1e-9):.2f} "
               f"mean_rel={mean_err:.4f} -> {'OK' if ok else 'FAIL'}",
@@ -166,7 +201,8 @@ def main():
 
     artifact = {
         "backend": backend,
-        "config": {"width": WIDTH, "spp": SPP, "depth": DEPTH,
+        "config": {"width": WIDTH, "spp": SPP, "base_depth": DEPTH,
+                   "n_configs": len(CONFIGS),
                    "seeds": [SEED_A, SEED_B],
                    "noise_factor": NOISE_FACTOR, "noise_abs": NOISE_ABS,
                    "mean_rtol": MEAN_RTOL},
