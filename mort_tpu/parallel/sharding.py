@@ -167,18 +167,34 @@ def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512, use_pallas=None):
             diff_data, data, cam, target, pixel_ids, seed)
         return loss, grads
 
+    # Device placement of the step operands is cached across calls keyed on
+    # the host objects' identities: a training loop calls run() thousands
+    # of times with the same scene/camera/target, and re-uploading them
+    # through device_put every step costs several host round-trips per
+    # step on a tunneled TPU (measured ~2 s of a 2.3 s step wall while the
+    # device itself was busy 0.28 s).  Steady-state training keeps its
+    # operands resident on device; this cache is that, without changing
+    # the run() signature.
+    prep_cache = {}
+
     def _prep(data, cam, target_img, seed):
-        W, H = cam.image_width, cam.image_height
-        n = mesh.devices.size
-        pix, WH = _padded_pixels(W, H, n)
-        target = np.asarray(target_img, np.float32).reshape(-1, 3)
-        target = np.concatenate(
-            [target, np.repeat(target[-1:], len(pix) - WH, 0)], 0)
-        pix_dev = jax.device_put(jnp.asarray(pix), shard)
-        tgt_dev = jax.device_put(jnp.asarray(target), shard)
-        data_dev = jax.device_put(data, repl)
-        cam_dev = jax.device_put(cam, repl)
-        diff = _extract_diff(data_dev)
+        key = (id(data), id(cam), id(target_img))
+        hit = prep_cache.get("key") == key
+        if not hit:
+            W, H = cam.image_width, cam.image_height
+            n = mesh.devices.size
+            pix, WH = _padded_pixels(W, H, n)
+            target = np.asarray(target_img, np.float32).reshape(-1, 3)
+            target = np.concatenate(
+                [target, np.repeat(target[-1:], len(pix) - WH, 0)], 0)
+            pix_dev = jax.device_put(jnp.asarray(pix), shard)
+            tgt_dev = jax.device_put(jnp.asarray(target), shard)
+            data_dev = jax.device_put(data, repl)
+            cam_dev = jax.device_put(cam, repl)
+            diff = _extract_diff(data_dev)
+            prep_cache.update(key=key, val=(diff, data_dev, cam_dev,
+                                            tgt_dev, pix_dev))
+        diff, data_dev, cam_dev, tgt_dev, pix_dev = prep_cache["val"]
         return diff, data_dev, cam_dev, tgt_dev, pix_dev, jnp.uint32(seed)
 
     def run(data, cam, target_img, seed=DEFAULT_SEED):

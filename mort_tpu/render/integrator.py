@@ -58,24 +58,15 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
                                         accel=pallas_accel)
     bg = cam.background
 
-    def body(state):
+    def fold(state, bt, bk, bi, row_t):
+        """Everything after closest-hit: media, shade, radiance fold.  Pure
+        VPU work — the rematerializable part of a bounce."""
         bounce, L, beta, alive, ro, rd = state
-        if use_pallas:
+        if use_pallas and meta.media:
             from .intersect import T_MIN, media_pass
-            from . import pallas_intersect as pal
-            bt, bk, bi, row_t = pal.closest_hit_pallas(
-                data, meta, qf, table, ro, rd, time,
-                interpret=pallas_interpret, accel=pallas_accel,
-                prepacked=prepacked)
-            if meta.media:
-                bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
-                                        pixel_ids, sample_ids, bounce, T_MIN,
-                                        bt, bk, bi)
-        else:
-            bt, bk, bi = intersect_best(data, meta, qf, ro.to_rows(),
-                                        rd.to_rows(), time, seed, pixel_ids,
-                                        sample_ids, bounce, chunk=chunk)
-            row_t = None
+            bt, bk, bi = media_pass(data, meta, qf, ro, rd, seed,
+                                    pixel_ids, sample_ids, bounce, T_MIN,
+                                    bt, bk, bi)
         out = finalize_and_shade(data, meta, qf, table, mat_cols, ro, rd,
                                  time, bt, bk, bi, seed,
                                  pixel_ids, sample_ids, bounce, row_t=row_t)
@@ -95,21 +86,42 @@ def trace(data: SceneData, meta: SceneMeta, qf: QuadFrames, cam: Camera,
         rd = v3.where(cont, out.new_dir, rd)
         return bounce + 1, L, beta, cont, ro, rd
 
+    if differentiable:
+        # Rematerialize the post-kernel part of each bounce in the
+        # backward: without this, reverse mode stacks every bounce's
+        # intermediates ([R]-sized ray/shading tensors x bounce_limit) and
+        # the backward becomes residual-traffic bound — profiled at ~25x
+        # the kernel time on the chip.  The closest-hit kernel itself
+        # stays OUTSIDE the checkpoint: custom_vjp calls are opaque to
+        # partial-eval, so a whole-body checkpoint re-executes the kernel
+        # once per bounce in the backward (measured 26 ms of a ~200 ms
+        # step); with the split, the kernel's outputs/residuals (a few
+        # [R] rows) are saved and only the cheap VPU fold recomputes.
+        fold = jax.checkpoint(fold)
+
+    def body(state):
+        bounce, L, beta, alive, ro, rd = state
+        if use_pallas:
+            from . import pallas_intersect as pal
+            bt, bk, bi, row_t = pal.closest_hit_pallas(
+                data, meta, qf, table, ro, rd, time,
+                interpret=pallas_interpret, accel=pallas_accel,
+                prepacked=prepacked)
+        else:
+            bt, bk, bi = intersect_best(data, meta, qf, ro.to_rows(),
+                                        rd.to_rows(), time, seed, pixel_ids,
+                                        sample_ids, bounce, chunk=chunk)
+            row_t = None
+        return fold(state, bt, bk, bi, row_t)
+
     def cond(state):
         bounce, _L, _beta, alive, _ro, _rd = state
         return (bounce < cam.bounce_limit) & jnp.any(alive)
 
     state = (jnp.int32(0), V3.zeros(R), V3.ones(R), jnp.ones(R, bool), ro, rd)
     if differentiable:
-        # Rematerialize each bounce in the backward: without this, reverse
-        # mode stacks every bounce's intermediates ([R]-sized ray/shading
-        # tensors x bounce_limit) and the backward becomes residual-traffic
-        # bound — profiled at ~25x the kernel time on the chip.  Recompute
-        # is cheap (the fused kernel dominates, ~3 ms/bounce) and the
-        # saved residuals shrink to the loop carry.
-        body_ck = jax.checkpoint(body)
         state = jax.lax.fori_loop(0, cam.bounce_limit,
-                                  lambda _i, s: body_ck(s), state)
+                                  lambda _i, s: body(s), state)
     else:
         state = jax.lax.while_loop(cond, body, state)
     return state[1].to_rows()

@@ -275,7 +275,16 @@ def pack_aab(data, meta):
     cols += [jnp.zeros(n, jnp.float32)] * (AAB_K - len(cols))
     tbl = jnp.stack(cols, axis=1)
     npad = _round_up(n, 8)
-    tbl = jnp.pad(tbl, ((0, npad - n), (0, 0)))
+    if npad != n:
+        # padding rows carry NaN slab planes: every (lo - ro) * ird product
+        # is NaN, IEEE comparisons with NaN are false, so both the validity
+        # test and the face-id equality reject the row for every ray — no
+        # live-mask column read is needed in _aab_best.  (An inverted-box
+        # [+big, -big] encoding does NOT work: the per-axis min/max sorts
+        # the slab back into a universe-covering box.)
+        pad = jnp.full((npad - n, AAB_K), jnp.nan, jnp.float32)
+        pad = pad.at[:, 6:].set(0.0)
+        tbl = jnp.concatenate([tbl, pad], axis=0)
     return jax.lax.stop_gradient(tbl)
 
 
@@ -612,11 +621,14 @@ def _sphere_chunk_best(sph_ref, start, n_sub, B, a, t_min_a):
     half_b = r[:, 0].reshape(n_sub * CL, -1)
     c_term = r[:, 1].reshape(n_sub * CL, -1)
     disc = half_b * half_b - a * c_term
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # miss lanes (disc < 0) get sq = BIG: root1s = -hb - BIG fails the
+    # t_min test and root1s + 2*BIG = +inf >= BIG reads as a miss, so the
+    # separate disc >= 0 validity conjunction is redundant (3 fewer VPU
+    # passes over the (prims, TR) tile than the max/and formulation)
+    sq = jnp.where(disc >= 0.0, jnp.sqrt(disc), BIG)
     root1s = -half_b - sq
     root_s = jnp.where(root1s > t_min_a, root1s, root1s + 2.0 * sq)
-    valid = (disc >= 0.0) & (root_s > t_min_a)
-    return _argmin_rows(jnp.where(valid, root_s, BIG))
+    return _argmin_rows(jnp.where(root_s > t_min_a, root_s, BIG))
 
 
 def _quad_chunk_best(quad_ref, start, n_sub, B, t_min):
@@ -728,7 +740,6 @@ def _aab_best(aab_ref, n_box, ro_c, rd_c, t_min):
     (box, ray) versus ~110 for six independent window tests.
     """
     tbl = aab_ref[pl.ds(0, n_box), :]
-    live = tbl[:, 12:13] > 0.0
     ird_m = []
     for c in rd_c:                             # per-ray rows, ~5 ops each
         m = jnp.abs(c) >= 1e-8
@@ -749,7 +760,9 @@ def _aab_best(aab_ref, n_box, ro_c, rd_c, t_min):
     t_ex = jnp.minimum(jnp.minimum(mxs[0], mxs[1]), mxs[2])
     use_en = t_en > t_min
     t_hit = jnp.where(use_en, t_en, t_ex)
-    valid = live & (t_en <= t_ex) & (t_hit > t_min)
+    # no live column: padding rows are inverted boxes (pack_aab) whose
+    # t_en <= t_ex test never passes
+    valid = (t_en <= t_ex) & (t_hit > t_min)
 
     # face identity in ONE pass over the axes (entry and exit picks share
     # it via slab_hit): the axis achieving t_hit; rays moving +k enter
@@ -1243,6 +1256,11 @@ def _t_winner(rays, hrow, crow, qrow, kind, t_min, has_s, has_q):
     B = _ray_basis(rays)                       # [K_LIN, R]
     rdx, rdy, rdz = rays[3], rays[4], rays[5]
     a = rdx * rdx + rdy * rdy + rdz * rdz
+    # a == 0 only for the all-zero PAD lanes of the chunked backward
+    # (rays are padded to the chunk multiple); root/a would be NaN there
+    # and a NaN reaches the accumulator even through a zero one-hot row
+    # (NaN * 0 = NaN on the MXU) — so divide by a guarded a instead
+    a = jnp.where(a > 0.0, a, 1.0)
     t = jnp.zeros_like(a)
     if has_s:
         is_s = kind == K_SPHERE
@@ -1285,6 +1303,28 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret,
         return out, (rays, sph_tbl, quad_tbl, t, kind, idx)
 
     def bwd(res, cts):
+        # The whole backward runs as ONE lax.scan over VMEM-sized ray
+        # chunks.  Two prior formulations were measured and rejected:
+        #
+        # * nine XLA scatter-adds of [R]-sized updates per bounce (the
+        #   obvious d_table accumulation) — the single largest backward
+        #   cost: TPU scatter serializes at ~6 cycles/update regardless
+        #   of how many updates are drops (~45 ms/scatter at 600x338);
+        # * a Pallas MXU one-hot scatter kernel (r04) — grad-exact but 2x
+        #   slower end-to-end: the custom call perturbed XLA's schedule
+        #   around it.
+        #
+        # Here each chunk builds ONE bf16 one-hot over the joined column
+        # space (sphere prim i -> column i, quad prim j -> cpad + j, miss
+        # -> dropped), uses it twice on the MXU: forward to GATHER the
+        # winner coefficient rows (3 bf16 limb passes reconstruct f32
+        # bit-exactly, _gather3's argument), and transposed to
+        # SEGMENT-SUM every cotangent column at once (3-limb on the value
+        # side, so sums are f32-accurate).  The winner-t vjp is
+        # elementwise per ray and runs inside the chunk; all [R, 24]-
+        # sized intermediates stay chunk-local, which also removes the
+        # two ~10 ms winner-row gather fusions and the full-size pad/
+        # concat traffic the unchunked version paid.
         rays, sph_tbl, quad_tbl, t, kind, idx = res
         dt, _dk, _di, drow = cts
         hit = kind != K_NONE
@@ -1294,62 +1334,128 @@ def _closest_hit_vjp(n_sph_chunks, n_quad_chunks, t_min, accel, interpret,
         cpad = sph_tbl.shape[0] // 2
         qpad = quad_tbl.shape[0] // 6
         has_s, has_q = n_sph_chunks > 0, n_quad_chunks > 0
-
-        if has_s:
-            i_s = jnp.clip(idx, 0, cpad - 1)
-            hrow = sph_tbl[sphere_row(i_s)]
-            crow = sph_tbl[sphere_row(i_s) + CL]
-        else:
-            hrow = crow = jnp.zeros((rays.shape[1], K_LIN), jnp.float32)
-        if has_q:
-            i_q = jnp.clip(idx, 0, qpad - 1)
-            qrow = jnp.stack([quad_tbl[quad_row(i_q, p)] for p in range(6)],
-                             axis=1)                       # [R, 6, K_LIN]
-        else:
-            qrow = jnp.zeros((rays.shape[1], 6, K_LIN), jnp.float32)
-
-        _, vjp_fn = jax.vjp(
-            lambda r, h, c, q: _t_winner(r, h, c, q, kind, t_min,
-                                         has_s, has_q),
-            rays, hrow, crow, qrow)
-        d_rays, d_h, d_c, d_q = vjp_fn(dt_eff)
-
-        # NOTE on the scatter-adds below: XLA's TPU scatter is the largest
-        # single backward cost (~45 ms per [R~200k -> ~2k rows] scatter in
-        # the 600x338 train step).  An MXU one-hot scatter-accumulate
-        # Pallas kernel (VMEM one-hot tiles, 3-limb-exact cotangents) was
-        # built and validated grad-exact — and made the WHOLE step 2x
-        # slower: pulling the scatters out of XLA's fusions perturbed the
-        # rematerialized backward's global schedule (the ray-basis
-        # concatenate alone went 4 ms -> 74 ms).  Reverted; a future pass
-        # should fuse the entire bounce backward into one kernel instead
-        # of swapping individual ops at the XLA boundary.
-        d_sph = jnp.zeros_like(sph_tbl)
-        if has_s:
-            drop = jnp.int32(2 * cpad)
-            sel = hit & (kind == K_SPHERE)
-            d_sph = d_sph.at[jnp.where(sel, sphere_row(i_s), drop)].add(
-                d_h, mode="drop")
-            d_sph = d_sph.at[jnp.where(sel, sphere_row(i_s) + CL, drop)].add(
-                d_c, mode="drop")
-        d_quad = jnp.zeros_like(quad_tbl)
-        if has_q:
-            drop = jnp.int32(6 * qpad)
-            sel = hit & (kind == K_QUAD)
-            for p in range(6):
-                d_quad = d_quad.at[jnp.where(sel, quad_row(i_q, p), drop)].add(
-                    d_q[:, p], mode="drop")
-
-        # row = joined_tbl[:, gidx]: scatter the row cotangent back (columns
-        # >= ROW_T alias scalars handled above; miss lanes gathered col 0)
         n_cols = (n_sph_chunks + n_quad_chunks) * CK
         gidx = jnp.where(kind == K_QUAD, idx + n_sph_chunks * CK, idx)
         gidx = jnp.where(hit, gidx, n_cols)
-        drow_m = jnp.concatenate(
-            [drow[:ROW_T], jnp.zeros((ROW_K - ROW_T, drow.shape[1]),
-                                     drow.dtype)], axis=0)
-        d_joined = jnp.zeros((ROW_K, n_cols), jnp.float32)
-        d_joined = d_joined.at[:, gidx].add(drow_m, mode="drop")
+
+        # de-interleave the coefficient tables into per-block [prims, K]
+        # matrices once, outside the scan (sphere_row/quad_row layout),
+        # and lay ALL their bf16 limbs side by side in one gather operand:
+        # a single [prims, blocks*3*K] MXU pass replaces blocks*3 narrow
+        # dots whose 24-wide outputs each padded to a full 128-lane slot
+        def limb_concat(blocks):
+            cols = []
+            for b in blocks:
+                cols.extend(_limbs3(b))
+            return jnp.concatenate(cols, axis=1)
+
+        def limb_sum(o, j):
+            base = 3 * K_LIN * j
+            return (o[:, base:base + K_LIN]
+                    + (o[:, base + K_LIN:base + 2 * K_LIN]
+                       + o[:, base + 2 * K_LIN:base + 3 * K_LIN]))
+
+        if has_s:
+            s_blk = sph_tbl.reshape(-1, 2, CL, K_LIN)
+            sph_g = limb_concat([s_blk[:, 0].reshape(cpad, K_LIN),
+                                 s_blk[:, 1].reshape(cpad, K_LIN)])
+        if has_q:
+            q_blk = quad_tbl.reshape(-1, 6, CL, K_LIN)
+            quad_g = limb_concat([q_blk[:, p].reshape(qpad, K_LIN)
+                                  for p in range(6)])
+
+        R = rays.shape[1]
+        V = (2 * K_LIN if has_s else 0) + (6 * K_LIN if has_q else 0) + ROW_T
+        ch = 2048 if n_cols > 2048 else 8192
+        rpad = _round_up(R, ch)
+        if rpad != R:
+            z = jnp.zeros(rpad - R, jnp.float32)
+            gidx = jnp.concatenate(
+                [gidx, jnp.full(rpad - R, n_cols, jnp.int32)])
+            dt_eff = jnp.concatenate([dt_eff, z])
+            kind_p = jnp.concatenate(
+                [kind, jnp.zeros(rpad - R, kind.dtype)])
+            rays_p = jnp.concatenate(
+                [rays, jnp.zeros((rays.shape[0], rpad - R), rays.dtype)],
+                axis=1)
+            drow_p = jnp.concatenate(
+                [drow[:ROW_T], jnp.zeros((ROW_T, rpad - R), drow.dtype)],
+                axis=1)
+        else:
+            kind_p, rays_p, drow_p = kind, rays, drow[:ROW_T]
+        it = rpad // ch
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (ch, n_cols), 1)
+        dn_f = (((1,), (0,)), ((), ()))    # oh [ch, n] @ tbl-limb [n, K]
+        dn_b = (((0,), (0,)), ((), ()))    # oh [ch, n] ^T @ vals [ch, V]
+
+        xs = (gidx.reshape(it, ch),
+              dt_eff.reshape(it, ch),
+              kind_p.reshape(it, ch),
+              rays_p.reshape(rays.shape[0], it, ch).transpose(1, 0, 2),
+              drow_p.reshape(ROW_T, it, ch).transpose(1, 0, 2))
+
+        def chunk_body(acc, inp):
+            g, dte, kd, rays_c, drow_c = inp
+            oh = (g[:, None] == col_iota).astype(jnp.bfloat16)
+            if has_s:
+                o_s = jax.lax.dot_general(
+                    oh[:, :cpad], sph_g, dn_f,
+                    preferred_element_type=jnp.float32)
+                hrow = limb_sum(o_s, 0)
+                crow = limb_sum(o_s, 1)
+            else:
+                hrow = crow = jnp.zeros((ch, K_LIN), jnp.float32)
+            if has_q:
+                o_q = jax.lax.dot_general(
+                    oh[:, cpad:], quad_g, dn_f,
+                    preferred_element_type=jnp.float32)
+                qrow = jnp.stack([limb_sum(o_q, p) for p in range(6)],
+                                 axis=1)                 # [ch, 6, K]
+            else:
+                qrow = jnp.zeros((ch, 6, K_LIN), jnp.float32)
+
+            _, vjp_fn = jax.vjp(
+                lambda r, h, c, q: _t_winner(r, h, c, q, kd, t_min,
+                                             has_s, has_q),
+                rays_c, hrow, crow, qrow)
+            d_rays_c, d_h, d_c, d_q = vjp_fn(dte)
+
+            parts = []
+            if has_s:
+                parts += [d_h, d_c]
+            if has_q:
+                parts.append(d_q.reshape(ch, 6 * K_LIN))
+            parts.append(drow_c.T)
+            vals = jnp.concatenate(parts, axis=1)        # [ch, V]
+            l1, l2, l3 = _limbs3(vals)
+            d = lambda x: jax.lax.dot_general(
+                oh, x, dn_b, preferred_element_type=jnp.float32)
+            return acc + (d(l1) + (d(l2) + d(l3))), d_rays_c
+
+        out, d_rays_st = jax.lax.scan(
+            chunk_body, jnp.zeros((n_cols, V), jnp.float32), xs)
+        d_rays = d_rays_st.transpose(1, 0, 2).reshape(rays.shape[0],
+                                                      rpad)[:, :R]
+
+        o = 0
+        if has_s:
+            d_sph = _interleave_blocks(
+                [out[:cpad, :K_LIN], out[:cpad, K_LIN:2 * K_LIN]])
+            o = 2 * K_LIN
+        else:
+            d_sph = jnp.zeros_like(sph_tbl)
+        if has_q:
+            dq = out[cpad:cpad + qpad, o:o + 6 * K_LIN]
+            d_quad = _interleave_blocks(
+                [dq[:, p * K_LIN:(p + 1) * K_LIN] for p in range(6)])
+            o += 6 * K_LIN
+        else:
+            d_quad = jnp.zeros_like(quad_tbl)
+        # columns >= ROW_T of the joined-row output alias the scalars
+        # handled via dt_eff; their cotangent rows stay zero
+        d_joined = jnp.concatenate(
+            [out[:, o:o + ROW_T].T,
+             jnp.zeros((ROW_K - ROW_T, n_cols), jnp.float32)], axis=0)
 
         # gen/aaq/aab fast-path tables are forward-only re-expressions of
         # the quad rows (stop_gradient'ed); all quad gradients flow through

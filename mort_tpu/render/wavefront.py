@@ -49,7 +49,11 @@ device executions are aligned to sample-chunk *layers* (layer c = tasks
 covering samples [c*spt, (c+1)*spt) of every pixel), so each pixel receives
 exactly one framebuffer add per layer, its accumulation order is
 layer-ascending regardless of pool size or in-flight scheduling, and the
-per-sample radiance itself is pinned by the counter RNG.
+per-sample radiance itself is pinned by the counter RNG.  Caveat: scenes
+rendered in deferred-texture mode (image/perlin fallbacks, `_defer_tex_ok`)
+are deterministic per config but not bit-identical across window/pool/mesh
+choices — the round-boundary grouping of the deferred texel multiply is
+config-dependent (see ``_span_core``'s defer_tex note; DEVIATIONS §7).
 """
 
 from __future__ import annotations
@@ -102,18 +106,28 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
     (identity when n_shards == 1).  RNG and camera rays always use the
     global pixel id, so renders are sharding-invariant.
 
-    ``defer_tex``: stall-resolve fallback textures.  The image-texel
+    ``defer_tex``: deferred-resolve fallback textures.  The image-texel
     gather is serialized ~10 ns/lane on TPU and the 7-octave perlin is
     VPU-heavy; evaluated for every lane every bounce they were measured at
     34% of the whole scene-8 round.  In this mode a lane hitting a
     fallback-textured surface samples its scatter direction as usual
     (direction draws never need the albedo), banks the pdf ratio into
-    beta, records (tid, u, v, p) and STALLS; once per deposit round ONE
-    texture_value pass resolves every stalled lane (beta *= texel) and
-    wakes it.  The per-path product of factors is unchanged — only the
-    f32 association order differs from the lockstep integrator (mult is
-    not associative), so renders stay within MC-noise agreement and
-    remain bit-identical across window/pool/mesh choices.  Requires no
+    beta, records (tid, u, v, p) in a pending slot and KEEPS BOUNCING —
+    contributions its path makes while the texel is owed accumulate in a
+    side register ``Lp`` so that the true radiance stays
+    ``L + texel * Lp``; once per deposit round ONE texture_value pass
+    pays every slot (``L/Lsum += texel * Lp``, ``beta *= texel``).  Only
+    a lane that hits a SECOND fallback surface while its slot is busy
+    stalls for the rest of the window (measured ~0.3% of lanes vs ~5.5%
+    that hit a fallback surface per bounce on final_scene — the
+    stall-everyone design cost 11 points of occupancy).  Per-path factor
+    products are algebraically unchanged; the f32 association differs
+    from the lockstep integrator (mult is not associative) and — unlike
+    the stall-everyone design — the texel*(sum of contributions)
+    grouping depends on where round boundaries fall, so defer-tex scenes
+    are deterministic for a FIXED (window, pool, mesh) config but not
+    bit-identical across configs; scenes without fallback textures keep
+    full cross-config bit-identity (DEVIATIONS section 7).  Requires no
     emissive material with a fallback texture (render_wavefront checks;
     emission would need the texel immediately)."""
     W, H = cam.image_width, cam.image_height
@@ -144,7 +158,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum, beta,
          useful) = carry[:12]
         if defer_tex:
-            stalled, pu, pv, ptid, pp = carry[12:]
+            (slot_busy, path_pend, stalled, pu, pv, ptid, pp,
+             pu2, pv2, ptid2, pp2, Lp) = carry[12:]
             act = alive & ~stalled
         else:
             act = alive
@@ -172,9 +187,18 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         lterm = act & out.hit & ~out.scatter_ok
         cont = act & out.hit & out.scatter_ok
 
-        L = L + v3.where(miss, beta * V3(bg[0], bg[1], bg[2]), 0.0)
-        L = L + v3.where(lterm, beta * out.emission, 0.0)
-        L = L + v3.where(cont & ~out.skip_pdf, beta * out.emission, 0.0)
+        if defer_tex:
+            # contributions made while this path owes a texel factor go to
+            # Lp: the round-end resolve adds texel * Lp (module docstring)
+            c = (v3.where(miss, beta * V3(bg[0], bg[1], bg[2]), 0.0)
+                 + v3.where(lterm | (cont & ~out.skip_pdf),
+                            beta * out.emission, 0.0))
+            L = L + v3.where(path_pend, 0.0, c)
+            Lp = Lp + v3.where(path_pend, c, 0.0)
+        else:
+            L = L + v3.where(miss, beta * V3(bg[0], bg[1], bg[2]), 0.0)
+            L = L + v3.where(lterm, beta * out.emission, 0.0)
+            L = L + v3.where(cont & ~out.skip_pdf, beta * out.emission, 0.0)
         beta = v3.where(cont, beta * out.weight, beta)
         ro = v3.where(cont, out.p, ro)
         rd = v3.where(cont, out.new_dir, rd)
@@ -182,16 +206,28 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         path_on = cont & (bounce < cam.bounce_limit)
 
         if defer_tex:
-            # lane owes beta a texel factor: record the lookup and stall
-            # until the round-end resolve (module docstring); a path that
+            # lane owes beta a texel factor: record the lookup in the
+            # pending slot and KEEP BOUNCING (contributions now route to
+            # Lp above; the round-end resolve pays the factor).  A second
+            # fallback hit while the slot is busy parks the lookup in the
+            # spare slot and stalls the lane until the resolve shifts it
+            # in (rare: two fallback hits inside one window).  A path that
             # just died at the depth limit owes nothing (its tail
-            # contributes 0, camera.cuh:161-163)
+            # contributes 0, camera.cuh:161-163).
             new_pend = path_on & out.tex_pending
-            stalled = stalled | new_pend
-            pu = jnp.where(new_pend, out.tex_u, pu)
-            pv = jnp.where(new_pend, out.tex_v, pv)
-            ptid = jnp.where(new_pend, out.tex_tid, ptid)
-            pp = v3.where(new_pend, out.p, pp)
+            first = new_pend & ~slot_busy
+            second = new_pend & slot_busy
+            pu = jnp.where(first, out.tex_u, pu)
+            pv = jnp.where(first, out.tex_v, pv)
+            ptid = jnp.where(first, out.tex_tid, ptid)
+            pp = v3.where(first, out.p, pp)
+            slot_busy = slot_busy | first
+            path_pend = path_pend | first
+            pu2 = jnp.where(second, out.tex_u, pu2)
+            pv2 = jnp.where(second, out.tex_v, pv2)
+            ptid2 = jnp.where(second, out.tex_tid, ptid2)
+            pp2 = v3.where(second, out.p, pp2)
+            stalled = stalled | second
 
         # fold the finished path into the lane's chunk sum and respawn on
         # the next sample of the chunk, inside the window
@@ -209,9 +245,14 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         beta = v3.where(more, 1.0, beta)
         alive = path_on | more
         if defer_tex:
+            # the pending ownership ends with the path; the slot itself
+            # (and Lp) survives until the round-end resolve, which routes
+            # texel * Lp into Lsum for ~path_pend slots
+            path_pend = path_pend & ~path_done
             alive = alive | stalled
             return (alive, pixel, sample, send, ro, rd, tme, bounce, L,
-                    Lsum, beta, useful, stalled, pu, pv, ptid, pp)
+                    Lsum, beta, useful, slot_busy, path_pend, stalled,
+                    pu, pv, ptid, pp, pu2, pv2, ptid2, pp2, Lp)
         return (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum,
                 beta, useful)
 
@@ -219,7 +260,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         (counter, fb, alive, pend, pixel, sample, send, ro, rd, tme, bounce,
          L, Lsum, beta, iters, useful) = state[:16]
         if defer_tex:
-            stalled, pu, pv, ptid, pp = state[16:]
+            (slot_busy, path_pend, stalled, pu, pv, ptid, pp,
+             pu2, pv2, ptid2, pp2, Lp) = state[16:]
 
         # --- deposit chunk sums finished in the previous window ---
         # non-depositing lanes get an out-of-bounds index (NOT -1, which jnp
@@ -267,7 +309,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         carry = (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum,
                  beta, useful)
         if defer_tex:
-            carry = carry + (stalled, pu, pv, ptid, pp)
+            carry = carry + (slot_busy, path_pend, stalled, pu, pv, ptid,
+                             pp, pu2, pv2, ptid2, pp2, Lp)
         carry = jax.lax.fori_loop(0, window, lambda _j, c: bounce_step(c),
                                   carry)
         (alive, pixel, sample, send, ro, rd, tme, bounce, L, Lsum, beta,
@@ -275,13 +318,29 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         iters = iters + 1
 
         if defer_tex:
-            # round-end resolve: ONE fallback-texture pass pays the owed
-            # beta factors of every lane stalled during the window
-            stalled, pu, pv, ptid, pp = carry[12:]
+            # round-end resolve: ONE fallback-texture pass pays every
+            # pending slot.  texel * Lp is the sum of the contributions
+            # the owing path made since the pending hit; it joins L (path
+            # still running) or Lsum (owner path finished); the running
+            # path's throughput also picks up the texel.  Stalled lanes'
+            # spare slot shifts into the (now free) first slot and they
+            # resume next round.
+            (slot_busy, path_pend, stalled, pu, pv, ptid, pp,
+             pu2, pv2, ptid2, pp2, Lp) = carry[12:]
             from .textures import texture_value
             tex = V3.from_rows(texture_value(data, meta, ptid, pu, pv,
                                              pp.to_rows()))
-            beta = v3.where(stalled, beta * tex, beta)
+            add = tex * Lp
+            Lsum = Lsum + v3.where(slot_busy & ~path_pend, add, 0.0)
+            L = L + v3.where(slot_busy & path_pend, add, 0.0)
+            beta = v3.where(slot_busy & path_pend, beta * tex, beta)
+            pu = jnp.where(stalled, pu2, pu)
+            pv = jnp.where(stalled, pv2, pv)
+            ptid = jnp.where(stalled, ptid2, ptid)
+            pp = v3.where(stalled, pp2, pp)
+            slot_busy = stalled
+            path_pend = stalled
+            Lp = V3.zeros(P)
             stalled = jnp.zeros_like(stalled)
 
         # lanes whose chunk completed during the window deposit next round
@@ -289,7 +348,8 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
         out_state = (counter, fb, alive, pend, pixel, sample, send, ro, rd,
                      tme, bounce, L, Lsum, beta, iters, useful)
         if defer_tex:
-            out_state = out_state + (stalled, pu, pv, ptid, pp)
+            out_state = out_state + (slot_busy, path_pend, stalled, pu, pv,
+                                     ptid, pp, pu2, pv2, ptid2, pp2, Lp)
         return out_state
 
     def cond(state):
@@ -316,11 +376,18 @@ def _span_core(data: SceneData, cam: Camera, seed, fb, task_start,
     )
     if defer_tex:
         state = state + (
-            jnp.zeros(P, bool),            # stalled
+            jnp.zeros(P, bool),            # slot_busy: pending texel owed
+            jnp.zeros(P, bool),            # path_pend: owing path running
+            jnp.zeros(P, bool),            # stalled: spare slot occupied
             jnp.zeros(P, jnp.float32),     # pending u
             jnp.zeros(P, jnp.float32),     # pending v
             jnp.zeros(P, jnp.int32),       # pending texture row
             V3.zeros(P),                   # pending hit point
+            jnp.zeros(P, jnp.float32),     # spare u
+            jnp.zeros(P, jnp.float32),     # spare v
+            jnp.zeros(P, jnp.int32),       # spare texture row
+            V3.zeros(P),                   # spare hit point
+            V3.zeros(P),                   # Lp: contributions owing texel
         )
     state = jax.lax.while_loop(cond, body, state)
     return jnp.stack(state[1], axis=-1), state[14], state[15]
@@ -403,8 +470,13 @@ def _sharded_span(mesh, meta, pool, chunk, window, use_pallas, spt, per,
 
 
 def default_pool(meta: SceneMeta, n_pixels: int) -> int:
+    # Big-scene pools: 2^16 measured faster than 2^17 on final_scene at
+    # both the 961-spp bench config (5.26 vs 5.22 M paths/s, occ 0.847 vs
+    # 0.828) and a 16-spp span (4.43 vs 3.97) — per-round deposit/resolve
+    # costs scale with the pool while the kernel work does not, and the
+    # smaller pool drains its task tail faster.
     n_prims = max(1, meta.n_spheres + meta.n_quads)
-    pool = 1 << 18 if n_prims <= 1024 else 1 << 17
+    pool = 1 << 18 if n_prims <= 1024 else 1 << 16
     return min(pool, max(1024, -(-n_pixels // 1024) * 1024))
 
 
