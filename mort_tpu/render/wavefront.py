@@ -415,9 +415,15 @@ def _wavefront_span(data: SceneData, cam: Camera, seed, fb, task_start,
 
 
 def _defer_tex_ok(data: SceneData, meta: SceneMeta) -> bool:
-    """Static gate for the stall-resolve texture mode: the scene must have
-    fallback textures at all, and none of them on an emissive material
-    (emission needs the texel at hit time, primtable COL_E docstring)."""
+    """Static gate for the deferred-resolve texture mode: the scene must
+    have fallback textures at all, none of them on an emissive material
+    (emission needs the texel at hit time, primtable COL_E docstring),
+    and fallback-textured surfaces must be a MINORITY of the geometry.
+    When most surfaces carry image/perlin textures (earth,
+    two_perlin_spheres), nearly every bounce sets a pending slot and
+    second hits stall — measured occupancy 0.08 on two_perlin_spheres
+    under deferral vs the 34%-of-round inline texture cost it was meant
+    to avoid; inline evaluation wins there."""
     if meta.n_images == 0 and meta.n_noise == 0:
         return False
     from ..scene.types import MAT_DIFFUSE_LIGHT, TEX_CHECKER, TEX_SOLID
@@ -430,7 +436,18 @@ def _defer_tex_ok(data: SceneData, meta: SceneMeta) -> bool:
     checker_solid = ((tkind == TEX_CHECKER)
                      & (tk[ce] == TEX_SOLID) & (tk[co] == TEX_SOLID))
     fallback = (tkind != TEX_SOLID) & ~checker_solid
-    return not bool(((mk == MAT_DIFFUSE_LIGHT) & fallback).any())
+    if bool(((mk == MAT_DIFFUSE_LIGHT) & fallback).any()):
+        return False
+    # prim-weighted fallback fraction over the surface geometry
+    n_fb = n_surf = 0
+    for mats, surf in ((data.sph_mat, data.sph_surface),
+                       (data.quad_mat, data.quad_surface)):
+        m = np.asarray(mats)
+        s = np.asarray(surf).astype(bool)
+        if m.size:
+            n_surf += int(s.sum())
+            n_fb += int((fallback[m] & s).sum())
+    return n_surf > 0 and n_fb <= n_surf // 4
 
 
 @functools.lru_cache(maxsize=16)
