@@ -178,8 +178,13 @@ def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512, use_pallas=None):
     prep_cache = {}
 
     def _prep(data, cam, target_img, seed):
-        key = (id(data), id(cam), id(target_img))
-        hit = prep_cache.get("key") == key
+        # identity comparison against STRONGLY-HELD key objects: keying on
+        # id() alone is unsound (a collected object's id can be reused by
+        # the next perturbed copy — observed as stale device scenes under
+        # finite-difference probing); holding the refs pins the ids
+        key = prep_cache.get("key")
+        hit = (key is not None and key[0] is data and key[1] is cam
+               and key[2] is target_img)
         if not hit:
             W, H = cam.image_width, cam.image_height
             n = mesh.devices.size
@@ -192,7 +197,8 @@ def make_train_step(meta: SceneMeta, mesh: Mesh, chunk=512, use_pallas=None):
             data_dev = jax.device_put(data, repl)
             cam_dev = jax.device_put(cam, repl)
             diff = _extract_diff(data_dev)
-            prep_cache.update(key=key, val=(diff, data_dev, cam_dev,
+            prep_cache.update(key=(data, cam, target_img),
+                              val=(diff, data_dev, cam_dev,
                                             tgt_dev, pix_dev))
         diff, data_dev, cam_dev, tgt_dev, pix_dev = prep_cache["val"]
         return diff, data_dev, cam_dev, tgt_dev, pix_dev, jnp.uint32(seed)

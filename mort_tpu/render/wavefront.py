@@ -541,6 +541,12 @@ def render_wavefront(data: SceneData, meta: SceneMeta, cam: Camera,
         # more to the per-round refill cost than they gain.
         deep = cam.bounce_limit >= 32
         window = (4 if deep else 8) if use_pallas else 3
+        if spp == 1:
+            # a 1-spp chunk is a single path: once it dies the lane cannot
+            # respawn until the round refill, so long windows run mostly
+            # dead slots (scene 10: occ 0.078 -> 0.21, 4.35 -> 5.61 M
+            # paths/s at window 3)
+            window = min(window, 3)
     n_chunks = -(-spp // spt)
     # static zero-aperture flag: skips the SLOT_CAM_LENS philox block +
     # disk math in respawn (unobservable — the oracle ignores those draws
